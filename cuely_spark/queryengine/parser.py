@@ -1,0 +1,125 @@
+"""Query-string parser + boolean plan simplification.
+
+Mirrors the reference surface we need (reference:
+/root/reference/crates/core/src/query/parser/mod.rs:17,221-247 and
+query/plan/mod.rs:235-300) for a single-text-field index:
+
+- bareword        -> Must term(s): the word is run through the same
+                     tokenizer as documents; each produced token is a
+                     conjunctive (AND) clause.
+- "quoted phrase" -> Must phrase: tokens must appear adjacent (slop 0).
+                     Smart quotes accepted. (parser/mod.rs: phrase incl.
+                     smart quotes “”)
+- -term           -> MustNot: docs containing ALL of the term's tokens
+                     are excluded. "--term" escapes to the literal
+                     bareword "-term" (parser semantics: `--` escapes).
+- term cap        -> MAX_TERMS_PER_QUERY = 32 parser terms
+                     (parser/mod.rs:17); term length cap 1024 chars.
+
+Plan simplification (query/plan/node.rs:204-305): duplicate Must clauses
+are deduplicated (idempotent AND); `the the the` scores once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .. import MAX_TERMS_PER_QUERY
+from ..tokenizer import tokenize
+
+MAX_TERM_LEN = 1024  # reference: crates/core/src/query/parser/term.rs:17-18
+MAX_PHRASE_WORDS = 32
+
+
+@dataclass(frozen=True)
+class Clause:
+    kind: str                 # "term" | "phrase" | "not"
+    tokens: tuple[str, ...]   # normalized tokens
+
+
+@dataclass
+class ParsedQuery:
+    clauses: list[Clause] = field(default_factory=list)
+
+    @property
+    def positive(self) -> list[Clause]:
+        return [c for c in self.clauses if c.kind != "not"]
+
+    @property
+    def negative(self) -> list[Clause]:
+        return [c for c in self.clauses if c.kind == "not"]
+
+    def all_terms(self) -> list[str]:
+        """Distinct terms needed from the index, in first-seen order."""
+        seen: dict[str, None] = {}
+        for c in self.clauses:
+            for t in c.tokens:
+                seen.setdefault(t, None)
+        return list(seen)
+
+
+_QUOTES = {'"': '"', "“": "”", "”": "”"}
+
+
+def _raw_split(q: str) -> list[str]:
+    """Split into raw parser terms, keeping quoted phrases intact."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in _QUOTES:
+            close = _QUOTES[c]
+            j = i + 1
+            while j < n and q[j] not in (close, '"', "”", "“"):
+                j += 1
+            out.append('"' + q[i + 1:j] + '"')
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace():
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+def parse_query(q: str) -> ParsedQuery:
+    if q is None or not q.strip():
+        raise ValueError("empty query")  # reference: query/mod.rs:82-85
+    clauses: list[Clause] = []
+    raws = _raw_split(q)[:MAX_TERMS_PER_QUERY]
+    for raw in raws:
+        raw = raw[:MAX_TERM_LEN]
+        if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+            toks = tuple(tokenize(raw[1:-1])[:MAX_PHRASE_WORDS])
+            if len(toks) == 1:
+                clauses.append(Clause("term", toks))
+            elif toks:
+                clauses.append(Clause("phrase", toks))
+        elif raw.startswith("--"):
+            toks = tuple(tokenize(raw[1:]))  # escaped literal "-term"
+            if toks:
+                clauses.append(Clause("term", toks))
+        elif raw.startswith("-") and len(raw) > 1:
+            toks = tuple(tokenize(raw[1:]))
+            if toks:
+                clauses.append(Clause("not", toks))
+        else:
+            for t in tokenize(raw):
+                clauses.append(Clause("term", (t,)))
+    # boolean simplification: idempotent AND — drop duplicate clauses
+    # (reference: query/plan/node.rs:124-135 deduplicate())
+    seen: set[tuple[str, tuple[str, ...]]] = set()
+    dedup: list[Clause] = []
+    for c in clauses:
+        key = (c.kind, c.tokens)
+        if key not in seen:
+            seen.add(key)
+            dedup.append(c)
+    pq = ParsedQuery(dedup)
+    if not pq.positive:
+        raise ValueError("query has no positive clauses")
+    return pq
