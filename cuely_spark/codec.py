@@ -63,6 +63,35 @@ def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def varbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(v.size, dtype=np.int64)
+    rem = v >> np.uint64(7)
+    while rem.any():
+        nb += (rem != 0).astype(np.int64)
+        rem >>= np.uint64(7)
+    return nb
+
+
+def varbyte_encode_split(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode `values` once, return per-segment bytes for segments
+    beginning at indices `starts` (ascending, starts[0]==0).
+
+    Used to pack ALL posting blocks of a term (or a whole segment) in a
+    single vectorized pass — no per-block encode calls.
+    """
+    buf = varbyte_encode(values)
+    if len(starts) <= 1:
+        return [buf]
+    nb = varbyte_nbytes(values)
+    byte_off = np.zeros(len(nb) + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_off[1:])
+    bounds = byte_off[np.asarray(starts, dtype=np.int64)]
+    ends = np.append(bounds[1:], len(buf))
+    return [buf[s:e] for s, e in zip(bounds, ends)]
+
+
 def delta_encode(sorted_vals: np.ndarray, base: int = -1) -> np.ndarray:
     """Strictly-increasing values -> gaps (first gap relative to `base`,
     so gaps are >= 1 for doc ids; base=-1 makes doc 0 encodable)."""

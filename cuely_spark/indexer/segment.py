@@ -1,0 +1,208 @@
+"""Per-partition segment construction kernel (pure numpy, Spark-free).
+
+The Spark analog of tantivy's in-memory postings writer + serializer
+(reference: /root/reference/crates/tantivy/src/postings/postings_writer.rs,
+serializer.rs:294-462): one partition of doc-sorted turns comes in, a
+complete index segment comes out as flat rows:
+
+- kind='p' posting blocks: per term, docs sorted ascending, chunked into
+  blocks of 128 (compression/mod.rs:4); each block self-contained:
+  delta-gap + varbyte docs (base -1), minus-one varbyte tfs, one raw u8
+  fieldnorm id per doc (fieldnorms denormalized into blocks so query
+  scoring never joins a doc table), delta-restart varbyte positions, and
+  block-max metadata (block_max_tf, block_min_fnid) giving a safe BM25
+  upper bound: score(min fieldnorm id, max tf) >= any doc in the block.
+  [Deviation from the reference, which stores the argmax *pair* under the
+  build-time weight (serializer.rs:365-416) — that bound is only valid if
+  avg_fieldnorm never changes; (max tf, min fnid) is a true bound under
+  any weight.]
+- kind='t' per-term stats: (term, df, ttf) within the segment.
+- kind='d' doc stats: (doc_id, doclen, fieldnorm_id).
+- kind='g' one segment-summary row (num_docs, num_terms, total_tokens,
+  posting_bytes) used for the manifest / lineage.
+
+Everything is vectorized: one lexsort, reduceat aggregations, and a
+single varbyte pass per stream split at block boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import BLOCK_SIZE
+from ..codec import varbyte_encode_split
+from ..fieldnorm import fieldnorm_to_id
+from ..tokenizer import tokenize
+
+# Arrow/Spark schema for all emitted rows (union of the four kinds)
+INDEX_ROW_SCHEMA = (
+    "kind string, segment_id int, term string, block_id int, "
+    "first_doc long, last_doc long, ndocs int, "
+    "docs binary, tfs binary, fnids binary, positions binary, "
+    "block_max_tf int, block_min_fnid int, "
+    "doc_id long, doclen int, fieldnorm_id int, "
+    "df long, ttf long, "
+    "num_docs long, num_terms long, total_tokens long, posting_bytes long"
+)
+
+_COLS = [c.split()[0] for c in INDEX_ROW_SCHEMA.split(", ")]
+
+
+def _empty_frame() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in _COLS})
+
+
+def build_segment_rows(
+    doc_ids: np.ndarray,
+    texts,
+    segment_id: int,
+    store_positions: bool = True,
+) -> pd.DataFrame:
+    """Build all index rows for one segment from (doc_id, text) pairs."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return _empty_frame()
+
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    toks_list = [tokenize(texts[i]) for i in order]
+    lens = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=n)
+    fnids_per_doc = fieldnorm_to_id(lens)
+
+    flat = [tok for toks in toks_list for tok in toks]
+    total = len(flat)
+
+    # ---- doc rows -------------------------------------------------------
+    d_rows = pd.DataFrame({
+        "kind": "d",
+        "segment_id": segment_id,
+        "doc_id": doc_ids,
+        "doclen": lens.astype(np.int64),
+        "fieldnorm_id": fnids_per_doc.astype(np.int64),
+    })
+
+    if total == 0:
+        g_rows = pd.DataFrame([{
+            "kind": "g", "segment_id": segment_id, "num_docs": n,
+            "num_terms": 0, "total_tokens": 0, "posting_bytes": 0,
+        }])
+        out = pd.concat([d_rows, g_rows], ignore_index=True)
+        return out.reindex(columns=_COLS)
+
+    terms_arr = np.asarray(flat, dtype=object)
+    tok_docs = np.repeat(doc_ids, lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # position of token within its doc
+    tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    # sorted term dictionary order == UTF-8 byte order == codepoint order
+    codes, uniques = pd.factorize(terms_arr, sort=True)
+    order2 = np.lexsort((tok_pos, tok_docs, codes))
+    c = codes[order2]
+    d = tok_docs[order2]
+    p = tok_pos[order2]
+
+    # ---- (term, doc) groups ---------------------------------------------
+    new_grp = np.empty(total, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    gstarts = np.flatnonzero(new_grp)
+    gterm = c[gstarts]
+    gdoc = d[gstarts]
+    tfs = np.diff(np.append(gstarts, total)).astype(np.int64)
+
+    # fieldnorm id per group (doc_ids ascending -> searchsorted)
+    gfn = fnids_per_doc[np.searchsorted(doc_ids, gdoc)].astype(np.int64)
+
+    # ---- per-term ranges --------------------------------------------------
+    ngroups = gstarts.size
+    term_new = np.empty(ngroups, dtype=bool)
+    term_new[0] = True
+    term_new[1:] = gterm[1:] != gterm[:-1]
+    tstarts = np.flatnonzero(term_new)              # group-index of term start
+    tends = np.append(tstarts[1:], ngroups)
+    df_per_term = (tends - tstarts).astype(np.int64)
+    ttf_per_term = np.add.reduceat(tfs, tstarts)
+    term_ids = gterm[tstarts]
+
+    # ---- block layout -----------------------------------------------------
+    nb = (df_per_term + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nblocks = int(nb.sum())
+    first = np.repeat(tstarts, nb)
+    within = np.arange(nblocks, dtype=np.int64) - np.repeat(np.cumsum(nb) - nb, nb)
+    bstarts = first + within * BLOCK_SIZE           # group-index
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(tends, nb))
+    bnd = (bends - bstarts).astype(np.int64)
+
+    block_term = gterm[bstarts]
+    block_id = within
+    first_doc = gdoc[bstarts]
+    last_doc = gdoc[bends - 1]
+    block_max_tf = np.maximum.reduceat(tfs, bstarts)
+    block_min_fnid = np.minimum.reduceat(gfn, bstarts)
+
+    # ---- encode streams (one vectorized pass each, split per block) ------
+    # docs: delta within block, first doc absolute (base -1 -> gap doc+1)
+    dgaps = np.empty(ngroups, dtype=np.int64)
+    dgaps[0] = gdoc[0] + 1
+    dgaps[1:] = gdoc[1:] - gdoc[:-1]
+    dgaps[bstarts] = gdoc[bstarts] + 1
+    docs_bytes = varbyte_encode_split(dgaps.astype(np.uint64), bstarts)
+
+    # tfs: minus-one encoding
+    tf_bytes = varbyte_encode_split((tfs - 1).astype(np.uint64), bstarts)
+
+    # fieldnorm ids: raw u8 per doc in block
+    gfn_u8 = gfn.astype(np.uint8).tobytes()
+    fn_bytes = [gfn_u8[s:e] for s, e in zip(bstarts, bends)]
+
+    if store_positions:
+        # positions: delta within each (term,doc) group, absolute at group
+        # start; split at block boundaries in token space
+        pgaps = np.empty(total, dtype=np.int64)
+        pgaps[0] = p[0]
+        pgaps[1:] = p[1:] - p[:-1]
+        pgaps[gstarts] = p[gstarts]
+        tok_bstarts = gstarts[bstarts]
+        pos_bytes = varbyte_encode_split(pgaps.astype(np.uint64), tok_bstarts)
+    else:
+        pos_bytes = [None] * nblocks
+
+    p_rows = pd.DataFrame({
+        "kind": "p",
+        "segment_id": segment_id,
+        "term": uniques[block_term],
+        "block_id": block_id.astype(np.int64),
+        "first_doc": first_doc.astype(np.int64),
+        "last_doc": last_doc.astype(np.int64),
+        "ndocs": bnd,
+        "docs": docs_bytes,
+        "tfs": tf_bytes,
+        "fnids": fn_bytes,
+        "positions": pos_bytes,
+        "block_max_tf": block_max_tf.astype(np.int64),
+        "block_min_fnid": block_min_fnid.astype(np.int64),
+    })
+
+    t_rows = pd.DataFrame({
+        "kind": "t",
+        "segment_id": segment_id,
+        "term": uniques[term_ids],
+        "df": df_per_term,
+        "ttf": ttf_per_term.astype(np.int64),
+    })
+
+    posting_bytes = int(sum(len(b) for b in docs_bytes)
+                        + sum(len(b) for b in tf_bytes)
+                        + sum(len(b) for b in fn_bytes)
+                        + sum(len(b) for b in pos_bytes if b is not None))
+    g_rows = pd.DataFrame([{
+        "kind": "g", "segment_id": segment_id, "num_docs": n,
+        "num_terms": int(df_per_term.size), "total_tokens": int(lens.sum()),
+        "posting_bytes": posting_bytes,
+    }])
+
+    out = pd.concat([p_rows, t_rows, d_rows, g_rows], ignore_index=True)
+    return out.reindex(columns=_COLS)

@@ -1,0 +1,235 @@
+"""IndexReader: distributed BM25 top-k over a built index.
+
+Query lifecycle (Spark mapping of the reference's LocalSearcher::search,
+/root/reference/crates/core/src/searcher/local/mod.rs:116-182):
+
+1. parse + plan (driver, :mod:`.parser`): clauses, dedup, 32-term cap.
+2. term stats lookup: one partition-pruned scan of the sorted
+   `term_stats` table (the Parquet FST stand-in) -> global df per term;
+   BM25 weights built driver-side with global N / avg_fieldnorm
+   (global-df contract: bm25.rs:84, SURVEY §4.1).
+3. posting scan: `index/kind=p` filtered by `term IN (...)` — Catalyst
+   pushes the filter to Parquet (row-group pruning on the sorted term
+   column), and only the needed columns are read (positions column is
+   skipped unless the query has a phrase).
+4. per-segment kernel: groupBy(segment_id).applyInPandas running the
+   numpy kernel (:mod:`.kernel`) — segment-local top-k, block-max
+   pruning, leapfrog AND, phrase verification. The shuffle moves only
+   the query's posting rows (KBs), never the corpus.
+5. global merge: orderBy(score desc, doc_id asc).limit(k) over the tiny
+   union of per-segment top-ks (reference: collector/top_docs.rs merge).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .. import TOP_K_DEFAULT
+from ..bm25 import Bm25Weight
+from .kernel import TermPostings, count_matches, segment_topk
+from .parser import ParsedQuery, parse_query
+
+_POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
+                 "ndocs", "docs", "tfs", "fnids",
+                 "block_max_tf", "block_min_fnid"]
+
+
+def _build_term_postings(grp) -> TermPostings:
+    grp = grp.sort_values("block_id")
+    return TermPostings(
+        grp["first_doc"].to_numpy(),
+        grp["last_doc"].to_numpy(),
+        grp["ndocs"].to_numpy(),
+        list(grp["docs"]),
+        list(grp["tfs"]),
+        list(grp["fnids"]),
+        positions=list(grp["positions"]) if "positions" in grp else None,
+        block_max_tf=grp["block_max_tf"].to_numpy(),
+        block_min_fnid=grp["block_min_fnid"].to_numpy(),
+    )
+
+
+def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype):
+    """(clause_specs, mustnot_groups) for one segment's TermPostings."""
+    empty_tp = TermPostings([], [], [], [], [], [])
+    specs = []
+    for c in pq.positive:
+        if c.kind == "term":
+            t = c.tokens[0]
+            specs.append(("term", by_term.get(t, empty_tp), weights[t]))
+        else:
+            tps = [by_term.get(t, empty_tp) for t in c.tokens]
+            specs.append(("phrase", tps, weights[("phrase", c.tokens)]))
+    negs = [[by_term.get(t, empty_tp) for t in c.tokens]
+            for c in pq.negative]
+    return specs, negs
+
+
+class IndexReader:
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.num_docs = self.stats["num_docs"]
+        self.avg_fieldnorm = self.stats["avg_fieldnorm"]
+        self._postings_path = os.path.join(path, "index", "kind=p")
+        self._term_stats_path = os.path.join(path, "term_stats")
+        self._turns_path = os.path.join(path, "turns")
+
+    # ------------------------------------------------------------------
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        from pyspark.sql import functions as F
+
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self._term_stats_path)
+            .filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        return {t: found.get(t, 0) for t in terms}
+
+    def _weights(self, pq: ParsedQuery, dfs: dict[str, int], dtype):
+        weights: dict = {}
+        for t in pq.all_terms():
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self.avg_fieldnorm, dtype=dtype)
+        for c in pq.positive:
+            if c.kind == "phrase":
+                # phrase weight = sum of constituent idfs
+                # (crates/tantivy/src/query/bm25.rs:96-131)
+                w = Bm25Weight(1, self.num_docs, self.avg_fieldnorm,
+                               dtype=dtype)
+                s = dtype(0.0)
+                for t in c.tokens:
+                    s = dtype(s + weights[t].weight)
+                w.weight = s
+                weights[("phrase", c.tokens)] = w
+        return weights
+
+    # ------------------------------------------------------------------
+    def search(self, query: str | ParsedQuery, k: int = TOP_K_DEFAULT,
+               dtype=np.float32, with_meta: bool = False):
+        """Top-k DataFrame (doc_id, score[, conv cols]), rank order."""
+        from pyspark.sql import functions as F
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        dfs = self.term_dfs(pq.all_terms())
+        # a required term absent from the whole index -> empty result
+        required = [c.tokens for c in pq.positive]
+        if any(dfs[t] == 0 for toks in required for t in toks):
+            return self._empty_result()
+        weights = self._weights(pq, dfs, dtype)
+        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        terms = pq.all_terms()
+
+        postings = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("term").isin(terms))
+            .select(*cols)
+        )
+
+        def run_segment(pdf):
+            import pandas as pd
+
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": [],
+                                     "segment_id": []})
+            seg = int(pdf["segment_id"].iloc[0])
+            by_term = {t: _build_term_postings(g)
+                       for t, g in pdf.groupby("term")}
+            specs, negs = _make_specs(pq, weights, by_term, dtype)
+            docs, scores = segment_topk(specs, negs, k, dtype=dtype)
+            return pd.DataFrame({
+                "doc_id": docs.astype("int64"),
+                "score": scores.astype("float64"),
+                "segment_id": np.full(docs.size, seg, dtype="int64"),
+            })
+
+        local = postings.groupBy("segment_id").applyInPandas(
+            run_segment, schema="doc_id long, score double, segment_id long"
+        )
+        top = (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        if with_meta:
+            segs = [r["segment_id"] for r in top.select("segment_id")
+                    .distinct().collect()]
+            ids = [r["doc_id"] for r in top.select("doc_id").collect()]
+            turns = (
+                self.spark.read.parquet(self._turns_path)
+                .filter(F.col("segment_id").isin(segs)
+                        & F.col("doc_id").isin(ids))
+            )
+            meta_cols = [c for c in turns.columns
+                         if c not in ("doc_id", "segment_id", "text")]
+            top = (top.join(F.broadcast(turns.select("doc_id", *meta_cols)),
+                            "doc_id", "left")
+                   .orderBy(F.desc("score"), F.asc("doc_id")))
+        return top.drop("segment_id")
+
+    def _empty_result(self):
+        return self.spark.createDataFrame(
+            [], schema="doc_id long, score double")
+
+    def search_collect(self, query, k: int = TOP_K_DEFAULT,
+                       dtype=np.float32):
+        """(doc_ids, scores) numpy arrays — test/bench convenience."""
+        rows = self.search(query, k=k, dtype=dtype).collect()
+        return (np.array([r["doc_id"] for r in rows], dtype=np.int64),
+                np.array([r["score"] for r in rows], dtype=dtype))
+
+    # ------------------------------------------------------------------
+    def count(self, query: str | ParsedQuery) -> int:
+        """Exact match count (reference Count collector)."""
+        from pyspark.sql import functions as F
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        dfs = self.term_dfs(pq.all_terms())
+        required = [c.tokens for c in pq.positive]
+        if any(dfs[t] == 0 for toks in required for t in toks):
+            return 0
+        # fast path: single positive term, no negation -> df from stats
+        if (len(pq.positive) == 1 and pq.positive[0].kind == "term"
+                and not pq.negative):
+            return dfs[pq.positive[0].tokens[0]]
+        dtype = np.float32
+        weights = self._weights(pq, dfs, dtype)
+        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        postings = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("term").isin(pq.all_terms()))
+            .select(*cols)
+        )
+
+        def run_segment(pdf):
+            import pandas as pd
+
+            if len(pdf) == 0:
+                return pd.DataFrame({"n": []})
+            by_term = {t: _build_term_postings(g)
+                       for t, g in pdf.groupby("term")}
+            specs, negs = _make_specs(pq, weights, by_term, dtype)
+            return pd.DataFrame({"n": [count_matches(specs, negs)]})
+
+        rows = (postings.groupBy("segment_id")
+                .applyInPandas(run_segment, schema="n long")
+                .agg(F.sum("n").alias("n")).collect())
+        return int(rows[0]["n"] or 0)
+
+    def approx_count(self, query: str | ParsedQuery) -> int:
+        """Term-independence estimate N * prod(df_i / N) (reference:
+        crates/core/src/collector/approx_count.rs:104-211)."""
+        pq = parse_query(query) if isinstance(query, str) else query
+        dfs = self.term_dfs(pq.all_terms())
+        est = float(self.num_docs)
+        for c in pq.positive:
+            for t in c.tokens:
+                est *= dfs[t] / self.num_docs
+        return int(round(est))

@@ -1,0 +1,297 @@
+"""Per-segment query kernel: pure numpy, Spark-free (unit-testable).
+
+This is the analog of tantivy's per-segment scorer stack:
+
+- single-term top-k with **block-max pruning**: blocks are visited in
+  descending score-upper-bound order and decoding stops as soon as the
+  next bound cannot beat the current k-th score (reference:
+  crates/tantivy/src/query/boolean_query/block_wand.rs:222-261, the
+  single-scorer block-WAND variant).
+- conjunctive AND via **block-range leapfrog**: the rarest clause drives;
+  other terms decode only blocks whose [first_doc, last_doc] ranges can
+  overlap surviving candidates (skip-list semantics, reference:
+  crates/tantivy/src/postings/skip.rs:119-171 + query/intersection.rs).
+- phrase verification via sorted position-list intersection with +1
+  offsets (reference: crates/tantivy/src/query/phrase_query/
+  phrase_scorer.rs:46-120); overlapping matches counted, match count is
+  the phrase tf.
+- MustNot via decoded-doc exclusion (reference: query/exclude.rs).
+- scores accumulate in float32 in query-clause order with docID-ascending
+  tiebreak (collector contract, SURVEY §4.2).
+
+Posting blocks are self-contained (docs delta-varbyte base -1, tfs
+minus-one varbyte, fnids raw u8, positions delta-restart varbyte), so any
+subset of blocks can be decoded independently — that is what makes
+skipping cheap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bm25 import Bm25Weight
+from ..codec import decode_docs, decode_positions, decode_tfs
+
+
+class TermPostings:
+    """All posting blocks of one term within one segment."""
+
+    __slots__ = ("first_doc", "last_doc", "ndocs", "docs", "tfs", "fnids",
+                 "positions", "block_max_tf", "block_min_fnid", "_cache")
+
+    def __init__(self, first_doc, last_doc, ndocs, docs, tfs, fnids,
+                 positions=None, block_max_tf=None, block_min_fnid=None):
+        self.first_doc = np.asarray(first_doc, dtype=np.int64)
+        self.last_doc = np.asarray(last_doc, dtype=np.int64)
+        self.ndocs = np.asarray(ndocs, dtype=np.int64)
+        self.docs = list(docs)
+        self.tfs = list(tfs)
+        self.fnids = list(fnids)
+        self.positions = list(positions) if positions is not None else None
+        self.block_max_tf = (np.asarray(block_max_tf, dtype=np.int64)
+                             if block_max_tf is not None else None)
+        self.block_min_fnid = (np.asarray(block_min_fnid, dtype=np.int64)
+                               if block_min_fnid is not None else None)
+        self._cache: dict[int, tuple] = {}
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.docs)
+
+    @property
+    def doc_count(self) -> int:
+        return int(self.ndocs.sum())
+
+    def decode_block(self, b: int):
+        """-> (docs, tfs, fnids) arrays for block b (cached)."""
+        hit = self._cache.get(b)
+        if hit is None:
+            docs = decode_docs(self.docs[b])
+            tfs = decode_tfs(self.tfs[b])
+            fnids = np.frombuffer(self.fnids[b], dtype=np.uint8)
+            hit = (docs, tfs, fnids)
+            self._cache[b] = hit
+        return hit
+
+    def decode_blocks(self, blocks: np.ndarray):
+        """Concatenated (docs, tfs, fnids, block_of_each_doc)."""
+        parts = [self.decode_block(int(b)) for b in blocks]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z.astype(np.uint8), z
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        fnids = np.concatenate([p[2] for p in parts])
+        owner = np.repeat(np.asarray(blocks, dtype=np.int64),
+                          [len(p[0]) for p in parts])
+        return docs, tfs, fnids, owner
+
+    def blocks_overlapping(self, cand_docs: np.ndarray) -> np.ndarray:
+        """Blocks whose [first_doc, last_doc] range contains any candidate
+        (vectorized skip: searchsorted over block boundaries)."""
+        if cand_docs.size == 0 or self.nblocks == 0:
+            return np.empty(0, dtype=np.int64)
+        # block for candidate c = first block with last_doc >= c
+        idx = np.searchsorted(self.last_doc, cand_docs, side="left")
+        idx = idx[idx < self.nblocks]
+        hit = cand_docs[: idx.size] >= self.first_doc[idx]
+        return np.unique(idx[hit])
+
+    def lookup(self, cand_docs: np.ndarray):
+        """(tfs, fnids, found_mask) for candidate docs (sorted)."""
+        blocks = self.blocks_overlapping(cand_docs)
+        docs, tfs, fnids, _ = self.decode_blocks(blocks)
+        pos = np.searchsorted(docs, cand_docs)
+        pos_c = np.clip(pos, 0, max(0, docs.size - 1))
+        found = (docs.size > 0) & (docs[pos_c] == cand_docs) & (pos < docs.size)
+        return tfs[pos_c], fnids[pos_c], found
+
+    def positions_for(self, cand_docs: np.ndarray) -> list[np.ndarray]:
+        """Per-candidate position arrays (cand_docs sorted, must exist)."""
+        assert self.positions is not None, "index built without positions"
+        out: list[np.ndarray] = []
+        blocks = self.blocks_overlapping(cand_docs)
+        want = set(cand_docs.tolist())
+        found: dict[int, np.ndarray] = {}
+        for b in blocks:
+            docs, tfs, _ = self.decode_block(int(b))
+            poss = decode_positions(self.positions[int(b)], tfs)
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            sel = np.flatnonzero(np.isin(docs, cand_docs))
+            for i in sel:
+                d = int(docs[i])
+                if d in want:
+                    found[d] = poss[starts[i]:ends[i]]
+        for d in cand_docs:
+            out.append(found[int(d)])
+        return out
+
+
+def _merge_topk(docs, scores, k):
+    """Top-k by (score desc, doc asc)."""
+    if docs.size <= k:
+        order = np.lexsort((docs, -scores))
+        return docs[order], scores[order]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def single_term_topk(tp: TermPostings, weight: Bm25Weight, k: int):
+    """Block-max-pruned top-k over one posting list."""
+    d = weight.dtype
+    ub = weight.score(tp.block_min_fnid, tp.block_max_tf)
+    order = np.argsort(-ub, kind="stable")
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=d)
+    threshold = -np.inf
+    chunk = 32
+    for i in range(0, order.size, chunk):
+        blocks = order[i:i + chunk]
+        if best_docs.size >= k and float(ub[blocks[0]]) < threshold:
+            break  # no remaining block can beat the k-th score
+        keep = (ub[blocks] >= threshold) | (best_docs.size < k)
+        blocks = blocks[keep]
+        if blocks.size == 0:
+            continue
+        docs, tfs, fnids, _ = tp.decode_blocks(np.sort(blocks))
+        scores = weight.score(fnids, tfs)
+        best_docs = np.concatenate([best_docs, docs])
+        best_scores = np.concatenate([best_scores, scores])
+        best_docs, best_scores = _merge_topk(best_docs, best_scores, k)
+        if best_docs.size >= k:
+            threshold = float(best_scores[-1])
+    return best_docs, best_scores
+
+
+def intersect_terms(tps: list[TermPostings]):
+    """Conjunctive intersection, rarest list drives (leapfrog over block
+    ranges). Returns sorted candidate doc ids."""
+    order = np.argsort([tp.doc_count for tp in tps], kind="stable")
+    driver = tps[order[0]]
+    blocks = np.arange(driver.nblocks)
+    cand, _, _, _ = driver.decode_blocks(blocks)
+    for j in order[1:]:
+        if cand.size == 0:
+            return cand
+        tp = tps[j]
+        _, _, found = tp.lookup(cand)
+        cand = cand[found]
+    return cand
+
+
+def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
+    """Phrase match count per candidate doc (0 = no match). `tps` in
+    phrase word order; cand sorted and present in every tp."""
+    counts = np.zeros(cand.size, dtype=np.int64)
+    if cand.size == 0:
+        return counts
+    pos_lists = [tp.positions_for(cand) for tp in tps]
+    for i in range(cand.size):
+        live = pos_lists[0][i]
+        for off in range(1, len(tps)):
+            nxt = pos_lists[off][i] - off
+            live = np.intersect1d(live, nxt, assume_unique=True)
+            if live.size == 0:
+                break
+        counts[i] = live.size
+    return counts
+
+
+def segment_topk(
+    clause_specs: list[tuple],
+    mustnot_groups: list[list[TermPostings]],
+    k: int,
+    dtype=np.float32,
+):
+    """Full per-segment evaluation.
+
+    clause_specs: list of ("term", TermPostings, Bm25Weight) or
+                  ("phrase", [TermPostings...], Bm25Weight)
+    A missing term in this segment (TermPostings with 0 blocks) makes the
+    conjunction empty.
+    Returns (doc_ids, scores) local top-k.
+    """
+    d = dtype
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
+    for kind, tp, _ in clause_specs:
+        tps = tp if isinstance(tp, list) else [tp]
+        if any(t.nblocks == 0 for t in tps):
+            return empty
+
+    # fast path: single term clause, no negation -> block-max WAND
+    if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
+            and not mustnot_groups):
+        _, tp, w = clause_specs[0]
+        return single_term_topk(tp, w, k)
+
+    # conjunctive candidates across all positive clauses
+    all_tps: list[TermPostings] = []
+    for kind, tp, _ in clause_specs:
+        all_tps.extend(tp if isinstance(tp, list) else [tp])
+    cand = intersect_terms(all_tps)
+    if cand.size == 0:
+        return empty
+
+    # MustNot exclusion: docs matching ALL terms of a negative group
+    for group in mustnot_groups:
+        if not group or any(t.nblocks == 0 for t in group):
+            continue
+        sub = cand
+        for tp in group:
+            if sub.size == 0:
+                break
+            _, _, found = tp.lookup(sub)
+            sub = sub[found]
+        if sub.size:
+            cand = cand[~np.isin(cand, sub, assume_unique=True)]
+    if cand.size == 0:
+        return empty
+
+    # score clause by clause in query order (f32 accumulation order)
+    total = np.zeros(cand.size, dtype=d)
+    for kind, tp, w in clause_specs:
+        if kind == "term":
+            tfs, fnids, found = tp.lookup(cand)
+            assert found.all()
+            total = (total + w.score(fnids, tfs)).astype(d)
+        else:  # phrase
+            tfs = phrase_tf(tp, cand)
+            keep = tfs > 0
+            cand, total, tfs = cand[keep], total[keep], tfs[keep]
+            if cand.size == 0:
+                return empty
+            _, fnids, _ = tp[0].lookup(cand)
+            total = (total + w.score(fnids, tfs)).astype(d)
+
+    return _merge_topk(cand, total, k)
+
+
+def count_matches(
+    clause_specs: list[tuple],
+    mustnot_groups: list[list[TermPostings]],
+) -> int:
+    """Exact match count for the conjunction (no scoring)."""
+    for kind, tp, _ in clause_specs:
+        tps = tp if isinstance(tp, list) else [tp]
+        if any(t.nblocks == 0 for t in tps):
+            return 0
+    all_tps: list[TermPostings] = []
+    for kind, tp, _ in clause_specs:
+        all_tps.extend(tp if isinstance(tp, list) else [tp])
+    cand = intersect_terms(all_tps)
+    for kind, tp, _ in clause_specs:
+        if kind == "phrase" and cand.size:
+            cand = cand[phrase_tf(tp, cand) > 0]
+    for group in mustnot_groups:
+        if not group or any(t.nblocks == 0 for t in group) or cand.size == 0:
+            continue
+        sub = cand
+        for tp in group:
+            _, _, found = tp.lookup(sub)
+            sub = sub[found]
+            if sub.size == 0:
+                break
+        if sub.size:
+            cand = cand[~np.isin(cand, sub, assume_unique=True)]
+    return int(cand.size)
