@@ -27,9 +27,12 @@ DTYPE = np.float32
 
 
 def idf(doc_freq: int, doc_count: int, dtype=DTYPE) -> float:
+    # (1.0 + x).ln() exactly as the reference writes it (bm25.rs:23-27);
+    # NOT log1p — the two differ in the last ulp and we want bit-parity
+    # with SQL oracles computing ln(1 + x).
     d = dtype
     x = (d(doc_count - doc_freq) + d(0.5)) / (d(doc_freq) + d(0.5))
-    return d(np.log1p(x))
+    return d(np.log(d(1.0) + x))
 
 
 class Bm25Weight:
@@ -42,8 +45,8 @@ class Bm25Weight:
         d = dtype
         self.dtype = d
         self.k1 = d(K1)
-        self.weight = d(np.log1p((d(doc_count - doc_freq) + d(0.5))
-                                 / (d(doc_freq) + d(0.5))))
+        x = (d(doc_count - doc_freq) + d(0.5)) / (d(doc_freq) + d(0.5))
+        self.weight = d(np.log(d(1.0) + x))
         fieldnorms = FIELD_NORMS_TABLE.astype(d)
         self.cache = (d(K1) * (d(1.0) - d(B) +
                                d(B) * fieldnorms / d(avg_fieldnorm))).astype(d)

@@ -1,0 +1,212 @@
+"""Deduplication operators over a documents table — Spark-first.
+
+Scale notes (the point of each design):
+- exact_duplicates: one hash-groupBy shuffle on a 60-bit content hash;
+  at 100 TB this is the cheapest possible full-corpus dedup (map-side
+  partial agg, AQE handles skew of pathological hot hashes).
+- minhash_lsh_pairs: shingle -> NUM_HASHES minhashes -> bands; candidate
+  generation is a self-join **on (band, band_signature)** so the shuffle
+  key space is the band buckets, never the full cross product. Verified
+  with exact shingle Jaccard only on candidates (classic MinHash+LSH,
+  cf. Broder; reference analog: simhash near-dup table in
+  crates/core/src/collector/top_docs.rs + crates/core/src/simhash.rs).
+- simhash: 64-ish-bit (60) sign-aggregated token-hash sketch; hamming
+  near-dup via band join on it is analogous.
+- All hashes are md5-based (ops.hashing) => DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60_spark
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SHINGLE_K = 3
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, min_doc_id).
+    Only groups with >1 doc are returned."""
+    return (
+        docs.select(h60_spark(F.col(text_col)).alias("text_hash"),
+                    F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"),
+             F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(text_col: str, k: int = SHINGLE_K):
+    """Array of k-word shingles of the whitespace-token stream (JVM-side:
+    split + transform over a sequence of start offsets)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): min over shingles of h60(i || '|' || s).
+
+    Entirely JVM-side: explode shingles once, aggregate num_hashes mins
+    in one groupBy pass (map-side combine keeps the shuffle tiny)."""
+    sh = doc_shingles(docs, text_col, id_col)
+    aggs = [
+        F.min(h60_spark(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_hashes: int = NUM_MINHASHES,
+                      bands: int = LSH_BANDS,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash+LSH.
+
+    Candidates = pairs sharing at least one band signature; verified
+    with exact shingle Jaccard >= threshold."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  *[c.alias(f"v{r}") for r, c in
+                                    enumerate(cols)]).alias(f"band_{b}"))
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols))
+                        .alias("bk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = doc_shingles(docs, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("shingle", "shingle_b"), "doc_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+            .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = SHINGLE_K,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (no LSH): shingle self-join.
+    Quadratic in bucket sizes — the exactness baseline for tests; use
+    minhash_lsh_pairs at scale."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                        6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash sketch.
+
+    bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
+    h60(token) else -1) > 0. Tokens weighted by frequency (a token
+    appearing twice contributes twice) — classic Charikar simhash.
+    JVM-side: explode tokens, one groupBy with `bits` conditional sums.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", h60_spark(F.col("tok")))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"s{b}") > 0,
+                           F.lit(1).cast("long") * (2 ** b)).otherwise(0)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs by cosine similarity (brute force, JVM-side
+    zip_with/aggregate — the exactness baseline; LSH variant in
+    ops.similarity scales it)."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    norm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (array<float>).
+
+- knn_bruteforce: exact cosine top-k of a query vector. JVM-side
+  zip_with/aggregate dot product — one narrow scan, no shuffle except
+  the final tiny top-k; the correctness baseline.
+- knn_bruteforce_pandas: same math as a vectorized Arrow/pandas UDF
+  (numpy matmul) — faster per-row at wide dims, used by bench.
+- lsh_knn: random-hyperplane LSH — deterministic md5-seeded hyperplanes,
+  bucket join on the sign signature, exact re-rank inside probed
+  buckets. The scale path: candidate set ~ N / 2^bits per probe.
+- ivf_knn: IVF over kmeans-lite centroids (one pandas pass), probe
+  nprobe nearest centroids, exact re-rank inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v))
+
+
+def cosine_scores(emb: DataFrame, query_vec, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cosine) for every vector — JVM-side fold, no shuffle."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    cos = _dot(F.col(vec_col).cast("array<double>"), q) / (
+        _norm(F.col(vec_col).cast("array<double>"))
+        * float(np.sqrt(np.dot(query_vec, query_vec))))
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.round(cos, 6).alias("cosine"))
+
+
+def knn_bruteforce(emb: DataFrame, query_vec, k: int = 10,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine) ordered desc, id tiebreak."""
+    return (cosine_scores(emb, query_vec, vec_col, id_col)
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def knn_bruteforce_pandas(emb: DataFrame, query_vec, k: int = 10,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Same result via Arrow-batched numpy matmul (the fast path)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            yield pd.DataFrame({"vec_id": pdf[id_col],
+                                "cosine": np.round(cos, 6)})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="vec_id long, cosine double")
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _hyperplanes(dim: int, nbits: int, seed: str = "lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5(seed|i|j)."""
+    import hashlib
+
+    h = np.empty((nbits, dim), dtype=np.float64)
+    for i in range(nbits):
+        for j in range(dim):
+            v = int(hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:8],
+                    16)
+            h[i, j] = (v / 0xFFFFFFFF) * 2.0 - 1.0
+    return h
+
+
+def lsh_signatures(emb: DataFrame, nbits: int = 8,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: str = "lsh") -> DataFrame:
+    """(vec_id, bucket): random-hyperplane sign signature as int."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(first["d"]), nbits, seed)
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) > 0
+            buckets = (bits * (1 << np.arange(nbits))).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col],
+                                "bucket": buckets.astype(np.int64)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sig, schema="vec_id long, bucket long")
+
+
+def lsh_knn(emb: DataFrame, query_vec, k: int = 10, nbits: int = 8,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            seed: str = "lsh") -> DataFrame:
+    """ANN: probe the query's bucket plus all buckets at hamming
+    distance 1, exact cosine re-rank inside."""
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(first["d"]), nbits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (planes @ qv) > 0
+    qbucket = int((qbits * (1 << np.arange(nbits))).sum())
+    probes = [qbucket] + [qbucket ^ (1 << b) for b in range(nbits)]
+    sigs = lsh_signatures(emb, nbits, vec_col, id_col, seed)
+    cand_ids = (sigs.filter(F.col("bucket").isin(probes))
+                .select(F.col("vec_id").alias("__cand_id")))
+    cand = emb.join(cand_ids, F.col(id_col) == F.col("__cand_id"),
+                    "left_semi")
+    return knn_bruteforce_pandas(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_knn(emb: DataFrame, query_vec, k: int = 10, ncells: int = 16,
+            nprobe: int = 3, vec_col: str = "embedding",
+            id_col: str = "vec_id", iters: int = 5) -> DataFrame:
+    """IVF ANN: kmeans-lite centroids (sampled, driver-side numpy),
+    cells assigned via mapInPandas, query probes `nprobe` cells."""
+    sample = np.stack([r[vec_col] for r in
+                       emb.select(vec_col).limit(2048).collect()]
+                      ).astype(np.float64)
+    rng = np.random.default_rng(42)
+    cents = sample[rng.choice(len(sample), size=min(ncells, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T
+        assign = np.argmax(d / (np.linalg.norm(sample, axis=1, keepdims=True)
+                                * np.linalg.norm(cents, axis=1)), axis=1)
+        for c in range(len(cents)):
+            m = sample[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+
+    def assign_cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sim = (m @ cents.T) / (
+                np.linalg.norm(m, axis=1, keepdims=True)
+                * np.linalg.norm(cents, axis=1))
+            yield pd.DataFrame({"vec_id": pdf[id_col],
+                                "cell": sim.argmax(axis=1).astype(np.int64)})
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign_cells, schema="vec_id long, cell long")
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsim = (cents @ qv) / (np.linalg.norm(cents, axis=1)
+                           * np.linalg.norm(qv))
+    probes = [int(c) for c in np.argsort(-qsim)[:nprobe]]
+    cand_ids = (cells.filter(F.col("cell").isin(probes))
+                .select(F.col("vec_id").alias("__cand_id")))
+    cand = emb.join(cand_ids, F.col(id_col) == F.col("__cand_id"),
+                    "left_semi")
+    return knn_bruteforce_pandas(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,180 @@
+"""DuckDB oracle-SQL generators mirroring the engine's semantics.
+
+Used by ``__spark_entry__.oracle_sql()`` — the driver runs these against
+the same parquet tables and compares row sets with the Spark results.
+The BM25 SQL reimplements, in SQL: the tokenizer (regex equivalent of
+the reference Default tokenizer — exact for ASCII corpora), fieldnorm
+quantization (256-entry table inlined), idf = ln(1 + (N-df+0.5)/(df+0.5)),
+tf_factor with k1=1.2/b=0.75, phrase adjacency via positional self-joins,
+and conjunctive AND with MustNot exclusion. Scores are float64 on both
+sides, rounded to 4 decimals (Spark F.round and DuckDB round both do
+half-up for positive values; numpy's banker rounding is avoided).
+"""
+
+from __future__ import annotations
+
+from .fieldnorm import FIELD_NORMS_TABLE
+from .queryengine.parser import ParsedQuery, parse_query
+
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9[:space:]]"
+_FNT = ",".join(str(int(v)) for v in FIELD_NORMS_TABLE)
+
+
+def _q(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def base_ctes(table: str = "documents", text_col: str = "text",
+              id_col: str = "doc_id") -> str:
+    """Shared CTEs: tokenization, doc lengths, quantized fieldnorms,
+    global stats, positional token stream."""
+    return f"""fnt(val) AS (SELECT unnest([{_FNT}])),
+docs AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS toks
+  FROM {table}
+),
+dl AS (SELECT doc_id, len(toks) AS doclen FROM docs),
+dlq AS (
+  SELECT d.doc_id, d.doclen,
+         (SELECT max(val) FROM fnt WHERE val <= d.doclen) AS fnq
+  FROM dl d
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (sum(doclen)::DOUBLE / count(*)::DOUBLE) AS avgfn
+  FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM docs
+)"""
+
+
+def _idf(term: str) -> str:
+    return (f"(SELECT ln(1 + (s2.n - d.df + 0.5) / (d.df + 0.5)) "
+            f"FROM dfs d, stats s2 WHERE d.term = {_q(term)})")
+
+
+def _phrase_cte(name: str, tokens: tuple[str, ...]) -> str:
+    joins = [f"(SELECT doc_id, pos FROM tok WHERE term={_q(tokens[0])}) w0"]
+    for i, t in enumerate(tokens[1:], start=1):
+        joins.append(
+            f"JOIN (SELECT doc_id, pos FROM tok WHERE term={_q(t)}) w{i} "
+            f"ON w{i}.doc_id = w0.doc_id AND w{i}.pos = w0.pos + {i}")
+    return (f"{name} AS (SELECT w0.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM {' '.join(joins)} GROUP BY w0.doc_id)")
+
+
+def _tf_factor(tf_expr: str) -> str:
+    return (f"({tf_expr} * 2.2) / ({tf_expr} + 1.2 * "
+            f"(1 - 0.75 + 0.75 * cand.fnq / s.avgfn))")
+
+
+def bm25_search_sql(query: str, k: int | None = 20,
+                    table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
+    k=None returns ALL matching docs (no LIMIT)."""
+    pq: ParsedQuery = parse_query(query)
+    all_terms = sorted(set(pq.all_terms()))
+    terms_in = ", ".join(_q(t) for t in all_terms)
+
+    ctes = [base_ctes(table, text_col, id_col)]
+    ctes.append(f"""tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+)""")
+
+    joins = ["CROSS JOIN stats s"]
+    score_terms = []
+    exists_conds = []
+    for ci, c in enumerate(pq.positive):
+        if c.kind == "term":
+            a = f"t{ci}"
+            joins.append(
+                f"JOIN tf {a} ON {a}.doc_id = cand.doc_id "
+                f"AND {a}.term = {_q(c.tokens[0])}")
+            score_terms.append(
+                f"{_idf(c.tokens[0])} * {_tf_factor(f'{a}.tf')}")
+        else:
+            name = f"ph{ci}"
+            ctes.append(_phrase_cte(name, c.tokens))
+            a = f"p{ci}"
+            joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
+            idf_sum = " + ".join(_idf(t) for t in c.tokens)
+            score_terms.append(f"({idf_sum}) * {_tf_factor(f'{a}.tf')}")
+
+    # candidate set: all positive clauses matched, no negative group fully
+    for ci, c in enumerate(pq.positive):
+        if c.kind == "term":
+            exists_conds.append(
+                f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
+                f"AND tf.term = {_q(c.tokens[0])})")
+        else:
+            exists_conds.append(
+                f"EXISTS (SELECT 1 FROM ph{ci} "
+                f"WHERE ph{ci}.doc_id = cand.doc_id)")
+    for c in pq.negative:
+        inner = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = cand.doc_id "
+            f"AND tok.term = {_q(t)})" for t in c.tokens)
+        exists_conds.append(f"NOT ({inner})")
+
+    sql = f"""WITH {', '.join(ctes)},
+cand AS (
+  SELECT cand.doc_id, cand.fnq FROM dlq cand
+  WHERE {' AND '.join(exists_conds)}
+)
+SELECT cand.doc_id AS doc_id,
+       round({' + '.join(score_terms)}, 4) AS score
+FROM cand {' '.join(joins)}
+ORDER BY score DESC, doc_id ASC"""
+    if k is not None:
+        sql += f"\nLIMIT {k}"
+    return sql
+
+
+def count_sql(query: str, table: str = "documents",
+              text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Exact match count of a query: single row (n)."""
+    pq = parse_query(query)
+    ctes = [base_ctes(table, text_col, id_col)]
+    conds = []
+    for ci, c in enumerate(pq.positive):
+        if c.kind == "term":
+            conds.append(
+                f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
+                f"AND tok.term = {_q(c.tokens[0])})")
+        else:
+            ctes.append(_phrase_cte(f"ph{ci}", c.tokens))
+            conds.append(f"EXISTS (SELECT 1 FROM ph{ci} "
+                         f"WHERE ph{ci}.doc_id = dl.doc_id)")
+    for c in pq.negative:
+        inner = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
+            f"AND tok.term = {_q(t)})" for t in c.tokens)
+        conds.append(f"NOT ({inner})")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT count(*)::BIGINT AS n FROM dl "
+            f"WHERE {' AND '.join(conds)}")
+
+
+def term_stats_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    return (f"WITH {base_ctes(table, text_col, id_col)} "
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
+            f"count(*)::BIGINT AS ttf FROM tok GROUP BY term")
+
+
+def doc_stats_sql(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    return (f"WITH {base_ctes(table, text_col, id_col)} "
+            f"SELECT doc_id, doclen::INT AS doclen, "
+            f"(SELECT (count(*) - 1)::INT FROM fnt WHERE val <= doclen) "
+            f"AS fieldnorm_id FROM dlq")
