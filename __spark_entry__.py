@@ -298,9 +298,10 @@ m AS (
 )
 SELECT doc_id, round(sw / n, 6) AS stopword_ratio,
        round(punct / chars, 6) AS punct_ratio,
-       round(0.5 * least(n / 64.0, 1.0)
-             + 0.3 * (1.0 - least(sw / n * 2.0, 1.0))
-             + 0.2 * (1.0 - least(punct / chars * 5.0, 1.0)), 6) AS quality
+       round(least(n / 64.0, 1.0)
+             * (0.6 * (1.0 - least(sw / n * 2.0, 1.0))
+                + 0.4 * (1.0 - least(punct / chars * 5.0, 1.0))), 6)
+         AS quality
 FROM m"""
 
     markers = {"de": "('der','und','das','ist')",

@@ -124,7 +124,7 @@ def _assign_doc_ids(
             yield pdf[out_cols + ["doc_id", "segment_id"]]
 
     result = part.mapInPandas(add_ids, schema=schema)
-    return result, part
+    return result, part, acc
 
 
 def _job_groups(segments: list[int], num_jobs: int) -> list[list[int]]:
@@ -156,6 +156,13 @@ def build_index(
     paths = IndexPaths(out_path)
     os.makedirs(paths.manifest_dir, exist_ok=True)
     t0 = time.time()
+    phase_sec: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phase_sec[name] = round(now - _last[0], 2)
+        _last[0] = now
 
     # ---------------- Stage A: doc ids + row store -----------------------
     stage_a_manifest = os.path.join(paths.manifest_dir, "stage_a.json")
@@ -164,9 +171,12 @@ def build_index(
             stage_a = json.load(f)
         num_segments = stage_a["num_segments"]
     else:
-        n = df.count()
         if num_segments is None:
+            n = df.count()
+            _mark("count")
             num_segments = max(1, math.ceil(n / rows_per_segment))
+        else:
+            n = None  # derived from partition counts below
         if doc_id_col is not None:
             turns = (
                 df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
@@ -175,12 +185,18 @@ def build_index(
                 .withColumn("segment_id", F.spark_partition_id())
             )
             part = None
+            if n is None:
+                n = df.count()
         else:
-            turns, part = _assign_doc_ids(spark, df, order_cols, num_segments)
+            turns, part, n_assigned = _assign_doc_ids(
+                spark, df, order_cols, num_segments)
+            if n is None:
+                n = n_assigned
         (turns.write.mode("overwrite").partitionBy("segment_id")
               .parquet(paths.turns))
         if part is not None:
             part.unpersist()
+        _mark("stage_a_write_turns")
         stage_a = {
             "num_rows": n,
             "num_segments": num_segments,
@@ -233,6 +249,7 @@ def build_index(
         rows = src.mapInPandas(seg_kernel, schema=INDEX_ROW_SCHEMA)
         (rows.write.mode("overwrite").partitionBy("kind", "segment_id")
              .parquet(paths.index))
+        _mark(f"job{job_id}_segments")
         # job manifest: lineage + per-segment metrics
         g = (
             spark.read.option("basePath", paths.index)
@@ -252,6 +269,7 @@ def build_index(
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
+        _mark(f"job{job_id}_manifest")
 
     # ---------------- Stage C: global term stats + stats.json ------------
     tseg = spark.read.option("basePath", paths.index).parquet(
@@ -266,6 +284,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(paths.term_stats)
     )
+    _mark("term_stats")
     gseg = spark.read.option("basePath", paths.index).parquet(
         os.path.join(paths.index, "kind=g")
     )
@@ -274,6 +293,7 @@ def build_index(
         F.sum("total_tokens").alias("total_tokens"),
         F.sum("posting_bytes").alias("posting_bytes"),
     ).collect()[0]
+    _mark("global_stats")
     stats = {
         "num_docs": int(agg["num_docs"]),
         "total_tokens": int(agg["total_tokens"]),
@@ -282,6 +302,7 @@ def build_index(
         "num_segments": len(segments),
         "store_positions": store_positions,
         "built_sec": time.time() - t0,
+        "phase_sec": phase_sec,
     }
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)

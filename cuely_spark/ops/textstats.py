@@ -53,10 +53,12 @@ def quality_score(docs: DataFrame, text_col: str = "text",
         F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     stop_ratio = sw.cast("double") / n
     punct_ratio = punct.cast("double") / F.length(F.col(text_col))
+    # length gates the whole score (a 3-token doc can't be high quality
+    # no matter how clean); stopword/punct penalties split the rest
     len_score = F.least(n.cast("double") / 64.0, F.lit(1.0))
-    quality = (0.5 * len_score
-               + 0.3 * (1.0 - F.least(stop_ratio * 2.0, F.lit(1.0)))
-               + 0.2 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))))
+    quality = len_score * (
+        0.6 * (1.0 - F.least(stop_ratio * 2.0, F.lit(1.0)))
+        + 0.4 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -78,21 +78,41 @@ class IndexReader:
         self.avg_fieldnorm = self.stats["avg_fieldnorm"]
         self._postings_path = os.path.join(path, "index", "kind=p")
         self._term_stats_path = os.path.join(path, "term_stats")
-        self._turns_path = os.path.join(path, "turns")
+        # merged indexes don't copy the row store; stats.json points back
+        self._turns_path = self.stats.get(
+            "turns_path", os.path.join(path, "turns"))
+        self._segment_map = self.stats.get("segment_map")
 
     # ------------------------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        from pyspark.sql import functions as F
+        """Global doc-freq per term — the tantivy-FST-lookup analog.
 
+        The term_stats table is written range-partitioned and sorted by
+        term, so a pyarrow dataset read with a term-IN filter prunes to
+        the one row-group per term via parquet min/max stats — a
+        driver-local lookup with no Spark job (reference: TermInfo
+        lookup, crates/tantivy/src/termdict/mod.rs). Falls back to a
+        Spark scan for non-local filesystems."""
         if not terms:
             return {}
-        rows = (
-            self.spark.read.parquet(self._term_stats_path)
-            .filter(F.col("term").isin(list(terms)))
-            .select("term", "df")
-            .collect()
-        )
-        found = {r["term"]: int(r["df"]) for r in rows}
+        try:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(self._term_stats_path, format="parquet")
+            tbl = dataset.to_table(
+                columns=["term", "df"],
+                filter=ds.field("term").isin(list(terms)))
+            found = dict(zip(tbl["term"].to_pylist(),
+                             (int(x) for x in tbl["df"].to_pylist())))
+        except (ImportError, OSError):  # pragma: no cover
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.spark.read.parquet(self._term_stats_path)
+                .filter(F.col("term").isin(list(terms)))
+                .select("term", "df").collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
         return {t: found.get(t, 0) for t in terms}
 
     def _weights(self, pq: ParsedQuery, dfs: dict[str, int], dtype):
@@ -160,6 +180,9 @@ class IndexReader:
         if with_meta:
             segs = [r["segment_id"] for r in top.select("segment_id")
                     .distinct().collect()]
+            if self._segment_map:  # merged index: map back to source segs
+                segs = [int(old) for old, new in self._segment_map.items()
+                        if new in set(segs)]
             ids = [r["doc_id"] for r in top.select("doc_id").collect()]
             turns = (
                 self.spark.read.parquet(self._turns_path)
