@@ -31,6 +31,8 @@ FT_QUERIES = {
     "ft_phrase_mix_all": ('"scan merge" table', None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
+    "ft_filter_lang_all": ("merge table lang:de", None),
+    "ft_filter_not_source": ("window source:src1 -lang:en", None),
 }
 FT_COUNTS = {
     "ft_count_and": "merge table window",
@@ -42,12 +44,16 @@ FT_COUNTS = {
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # bump the version whenever the index layout/contents change so a
+    # stale cached build is never reused
+    key = hashlib.md5(
+        f"v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
-                    rows_per_segment=2500, num_jobs=1)
+                    rows_per_segment=2500, num_jobs=1,
+                    attr_cols=("lang", "source"))
     return out
 
 
@@ -106,8 +112,10 @@ def _ft_count(q: str):
 
 
 def _ft_term_stats(spark, sf_dir):
+    # internal attribute-filter terms (field:value) are not text tokens
     return (spark.read.parquet(
         os.path.join(_ensure_index(spark, sf_dir), "term_stats"))
+        .filter(~F.col("term").rlike(r"^[a-z_]+:."))
         .select("term", "df", "ttf"))
 
 
@@ -130,6 +138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ft_count(q)
     out["ft_term_stats"] = _ft_term_stats
     out["ft_doc_stats"] = _ft_doc_stats
+
+    def ft_get_doc(spark, sf_dir):
+        r = _reader(spark, sf_dir)
+        turns = spark.read.parquet(r._turns_path)
+        return (turns.filter(F.col("doc_id") == 42)
+                .select("doc_id", "text", "lang", "source", "n_chars"))
+    out["ft_get_doc"] = ft_get_doc
+
+    def ft_top_key_phrases(spark, sf_dir):
+        return _reader(spark, sf_dir).top_key_phrases(k=15)
+    out["ft_top_key_phrases"] = ft_top_key_phrases
 
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
@@ -172,6 +191,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 4).alias("sum_value")))
     out["events_windowed"] = events_windowed
 
+    def events_sessionized(s, d):
+        """Gap-based sessionization (30 min) — the batch equivalent of
+        stateful streaming session windows."""
+        from pyspark.sql.window import Window
+
+        ev = _events(s, d)
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        return (marked.groupBy("user_id")
+                .agg(F.sum("new_sess").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+    out["events_sessionized"] = events_sessionized
+
     return out
 
 
@@ -193,6 +229,19 @@ def oracle_sql() -> dict[str, str]:
         out[name] = count_sql(q)
     out["ft_term_stats"] = term_stats_sql()
     out["ft_doc_stats"] = doc_stats_sql()
+    out["ft_get_doc"] = ("SELECT doc_id, text, lang, source, n_chars "
+                         "FROM documents WHERE doc_id = 42")
+    from cuely_spark.oracle_sql import base_ctes
+    out["ft_top_key_phrases"] = f"""
+WITH {base_ctes()},
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df,
+         count(*)::DOUBLE AS ttf
+  FROM tok GROUP BY term
+)
+SELECT term, round(ttf * ln(1 + ((SELECT n FROM stats) - df + 0.5)
+                             / (df + 0.5)), 4) AS score
+FROM ts ORDER BY score DESC, term ASC LIMIT 15"""
 
     out["dedup_exact"] = f"""
 SELECT {h('text')} AS text_hash, count(*)::BIGINT AS n_docs,
@@ -334,5 +383,17 @@ SELECT doc_id, {pred} AS lang_pred FROM sc"""
 SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    out["events_sessionized"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id"""
 
     return out

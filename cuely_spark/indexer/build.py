@@ -4,13 +4,14 @@ Spark-first layout (vs the reference's per-WARC-file jobs + tree merge,
 /root/reference/crates/core/src/entrypoint/indexer/mod.rs:43-144):
 
 Stage A  (docID assignment / "index sort"):
-    input turns -> repartitionByRange(num_segments, conv_id, turn_idx)
-    -> sortWithinPartitions -> persist -> per-partition counts give
-    cumulative offsets -> mapInPandas assigns dense doc_id = global rank
-    of (conv_id, turn_idx) (stable; never monotonically_increasing_id)
-    -> written as `turns/segment_id=N` (the row store; reference analog:
-    crates/tantivy/src/store/). The persist() pins the sampled range
-    boundaries so the count job and the write job can't disagree.
+    one JVM-only pass: repartitionByRange(num_segments, conv_id,
+    turn_idx) -> sortWithinPartitions -> tag (segment_id, __ord) ->
+    write `turns/segment_id=N` (the row store; reference analog:
+    crates/tantivy/src/store/). Dense doc ids are doc_id =
+    offset[segment] + __ord with offsets derived from the WRITTEN
+    files' parquet footers — deterministic by construction (no
+    persist/replay hazards), and the corpus never crosses the Python
+    boundary during id assignment.
 
 Stage B  (segment build, zero shuffle):
     per job (a group of segments, the resumability/checkpoint unit):
@@ -81,50 +82,65 @@ class IndexPaths:
         return os.path.join(self.root, "manifest")
 
 
-def _assign_doc_ids(
-    spark: SparkSession,
+def _write_sorted_turns(
     df: DataFrame,
     order_cols: tuple[str, ...],
     num_segments: int,
-) -> DataFrame:
-    """Dense global doc ids by (order_cols) rank; adds doc_id, segment_id."""
-    from pyspark import StorageLevel
+    out_path: str,
+) -> None:
+    """Stage A, single pass, 100% JVM-side: range-partition + sort by
+    (order_cols), tag each row with its segment (range partition id) and
+    its within-partition ordinal `__ord`, write partitioned by segment.
 
+    The within-partition ordinal is monotonically_increasing_id()'s
+    documented low-33-bit per-partition counter — NOT used as an id by
+    itself (it is neither dense nor stable across partitionings), only
+    as the row ordinal of this one sorted write. Dense global
+    doc ids are derived afterwards as offset[segment] + __ord, with
+    offsets computed from the *written files'* parquet footers
+    (:func:`segment_offsets`) — fully deterministic, no persist/replay
+    hazards, resumable for free.
+    """
     part = (
         df.repartitionByRange(num_segments, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("segment_id", F.spark_partition_id())
+        .withColumn(
+            "__ord",
+            F.col("__mid") - (F.col("segment_id").cast("long") * (1 << 33)))
+        .drop("__mid")
     )
-    counts = (
-        part.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
+    (part.write.mode("overwrite").partitionBy("segment_id")
+         .parquet(out_path))
+
+
+def segment_offsets(turns_path: str) -> dict[int, int]:
+    """Cumulative doc-id offset per segment from parquet footers.
+
+    Driver-side loop over one footer per segment — at very large
+    segment counts run the same count as a tiny Spark job over file
+    metadata; counts come from immutable written files either way."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for d in os.listdir(turns_path):
+        if not d.startswith("segment_id="):
+            continue
+        seg = int(d.split("=")[1])
+        total = 0
+        segdir = os.path.join(turns_path, d)
+        for f in os.listdir(segdir):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(segdir, f)).metadata.num_rows
+        counts[seg] = total
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-
-    out_cols = df.columns
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", doc_id long, segment_id int"
-
-    def add_ids(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["doc_id"] = base + seen + __import__("numpy").arange(len(pdf))
-            pdf["segment_id"] = pid
-            seen += len(pdf)
-            yield pdf[out_cols + ["doc_id", "segment_id"]]
-
-    result = part.mapInPandas(add_ids, schema=schema)
-    return result, part, acc
+    for seg in sorted(counts):
+        offsets[seg] = acc
+        acc += counts[seg]
+    return offsets, acc
 
 
 def _job_groups(segments: list[int], num_jobs: int) -> list[list[int]]:
@@ -146,12 +162,17 @@ def build_index(
     num_jobs: int = 1,
     store_positions: bool = True,
     resume: bool = False,
+    attr_cols: tuple[str, ...] = (),
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
     If `doc_id_col` is given it must hold unique, stable int64 ids (used
     directly, segments = ranges of that id); otherwise ids are assigned
     as the dense rank of `order_cols`.
+
+    `attr_cols`: low-cardinality string columns indexed as unscored
+    `field:value` filter terms (queryable as `role:user` — the
+    site:/intitle: analog).
     """
     paths = IndexPaths(out_path)
     os.makedirs(paths.manifest_dir, exist_ok=True)
@@ -170,13 +191,16 @@ def build_index(
         with open(stage_a_manifest) as f:
             stage_a = json.load(f)
         num_segments = stage_a["num_segments"]
+        offsets = ({int(k): v for k, v in stage_a["offsets"].items()}
+                   if stage_a.get("offsets") else None)
+        n = stage_a["num_rows"]
     else:
         if num_segments is None:
             n = df.count()
             _mark("count")
             num_segments = max(1, math.ceil(n / rows_per_segment))
         else:
-            n = None  # derived from partition counts below
+            n = None  # derived from written footers below
         if doc_id_col is not None:
             turns = (
                 df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
@@ -184,24 +208,22 @@ def build_index(
                 .sortWithinPartitions("doc_id")
                 .withColumn("segment_id", F.spark_partition_id())
             )
-            part = None
+            (turns.write.mode("overwrite").partitionBy("segment_id")
+                  .parquet(paths.turns))
+            offsets = None
             if n is None:
-                n = df.count()
+                _, n = segment_offsets(paths.turns)
         else:
-            turns, part, n_assigned = _assign_doc_ids(
-                spark, df, order_cols, num_segments)
-            if n is None:
-                n = n_assigned
-        (turns.write.mode("overwrite").partitionBy("segment_id")
-              .parquet(paths.turns))
-        if part is not None:
-            part.unpersist()
+            _write_sorted_turns(df, order_cols, num_segments, paths.turns)
+            offsets, n = segment_offsets(paths.turns)
         _mark("stage_a_write_turns")
         stage_a = {
             "num_rows": n,
             "num_segments": num_segments,
             "order_cols": list(order_cols),
             "doc_id_col": doc_id_col,
+            "offsets": ({str(k): v for k, v in offsets.items()}
+                        if offsets is not None else None),
             "elapsed_sec": time.time() - t0,
         }
         with open(stage_a_manifest, "w") as f:
@@ -216,22 +238,37 @@ def build_index(
     jobs = _job_groups(segments, num_jobs)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    id_col = "doc_id" if offsets is None else "__ord"
+    attr_cols = tuple(attr_cols)
+    keep_cols = [id_col, text_col, *attr_cols]
+
     def seg_kernel(batches):
         import pandas as pd
 
         bufs: dict[int, list] = {}
         for pdf in batches:
             for seg, grp in pdf.groupby("segment_id"):
-                bufs.setdefault(int(seg), []).append(
-                    grp[["doc_id", text_col]]
-                )
+                bufs.setdefault(int(seg), []).append(grp[keep_cols])
         for seg, parts in bufs.items():
             allp = pd.concat(parts, ignore_index=True)
+            ids = allp[id_col].to_numpy()
+            if offsets is not None:
+                ids = ids + offsets[seg]
+            attrs = None
+            if attr_cols:
+                cols = [allp[c].tolist() for c in attr_cols]
+                attrs = [
+                    [f"{name}:{str(v).lower()}"
+                     for name, v in zip(attr_cols, row_vals)
+                     if v is not None and str(v) != ""]
+                    for row_vals in zip(*cols)
+                ]
             yield build_segment_rows(
-                allp["doc_id"].to_numpy(),
+                ids,
                 allp[text_col].tolist(),
                 segment_id=seg,
                 store_positions=store_positions,
+                attr_tokens=attrs,
             )
 
     for job_id, segs in enumerate(jobs):
@@ -244,10 +281,15 @@ def build_index(
             .parquet(*[
                 os.path.join(paths.turns, f"segment_id={s}") for s in segs
             ])
-            .select("doc_id", text_col, "segment_id")
+            .select(id_col, text_col, "segment_id", *attr_cols)
         )
         rows = src.mapInPandas(seg_kernel, schema=INDEX_ROW_SCHEMA)
-        (rows.write.mode("overwrite").partitionBy("kind", "segment_id")
+        # small row groups: posting rows are term-sorted, so parquet
+        # min/max stats on `term` prune a query's scan to the few row
+        # groups holding its terms (the FST/skip-list role)
+        (rows.write.mode("overwrite")
+             .option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("kind", "segment_id")
              .parquet(paths.index))
         _mark(f"job{job_id}_segments")
         # job manifest: lineage + per-segment metrics
@@ -303,6 +345,10 @@ def build_index(
         "store_positions": store_positions,
         "built_sec": time.time() - t0,
         "phase_sec": phase_sec,
+        # doc_id = segment_offsets[segment_id] + __ord when the turns
+        # table was written by stage A (None when ids were user-supplied)
+        "segment_offsets": ({str(k): v for k, v in offsets.items()}
+                            if offsets is not None else None),
     }
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)

@@ -154,7 +154,10 @@ def merge_segments(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (cold_out.unionByName(hot_out)
-     .write.mode("overwrite").partitionBy("kind", "segment_id")
+     .sortWithinPartitions("kind", "segment_id", "term", "block_id")
+     .write.mode("overwrite")
+     .option("parquet.block.size", 2 * 1024 * 1024)
+     .partitionBy("kind", "segment_id")
      .parquet(dst.index))
 
     # ---- d / t / g rows re-aggregated -----------------------------------

@@ -35,6 +35,54 @@ from ..codec import varbyte_encode_split
 from ..fieldnorm import fieldnorm_to_id
 from ..tokenizer import tokenize
 
+# rows that the Arrow C++ space-split tokenizes identically to the full
+# Default-tokenizer chain: already-lowercase alnum words, single spaces,
+# no punctuation/unicode (then: segmentation, split-preserve, lowercase,
+# NFKD and diacritics-strip are all identity)
+_SIMPLE_ROW_RE = "^[a-z0-9]+( [a-z0-9]+)*$"
+
+
+def _tokenize_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a row batch -> (flat token array, tokens-per-row).
+
+    Vectorized fast path: rows matching _SIMPLE_ROW_RE are split by the
+    Arrow C++ kernel (no per-row Python); everything else goes through
+    the exact Python tokenizer. Outputs are order-preserving.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string())
+    simple = pc.match_substring_regex(arr, _SIMPLE_ROW_RE)
+    simple_np = simple.to_numpy(zero_copy_only=False)
+    simple_np = np.where(np.equal(simple_np, None), False,
+                         simple_np).astype(bool)
+    n = len(texts)
+    if simple_np.all():
+        la = pc.split_pattern(arr, " ")
+        lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        return flat, lens.astype(np.int64)
+
+    lens = np.empty(n, dtype=np.int64)
+    row_parts: list = [None] * n
+    idx_simple = np.flatnonzero(simple_np)
+    if idx_simple.size:
+        la = pc.split_pattern(arr.take(pa.array(idx_simple)), " ")
+        sub_lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        flat_sub = la.flatten().to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(sub_lens)[:-1]])
+        for j, i in enumerate(idx_simple):
+            row_parts[i] = flat_sub[starts[j]:starts[j] + sub_lens[j]]
+            lens[i] = sub_lens[j]
+    for i in np.flatnonzero(~simple_np):
+        toks = tokenize(texts[i])
+        row_parts[i] = np.asarray(toks, dtype=object)
+        lens[i] = len(toks)
+    flat = (np.concatenate([p for p in row_parts if len(p)])
+            if lens.sum() else np.empty(0, dtype=object))
+    return flat.astype(object), lens
+
 # Arrow/Spark schema for all emitted rows (union of the four kinds)
 INDEX_ROW_SCHEMA = (
     "kind string, segment_id int, term string, block_id int, "
@@ -58,21 +106,47 @@ def build_segment_rows(
     texts,
     segment_id: int,
     store_positions: bool = True,
+    attr_tokens: list | None = None,
 ) -> pd.DataFrame:
-    """Build all index rows for one segment from (doc_id, text) pairs."""
+    """Build all index rows for one segment from (doc_id, text) pairs.
+
+    `attr_tokens` (optional, aligned with texts): per-doc list of
+    synthetic attribute terms like "role:user" — indexed as unscored
+    filter postings (tf=1, position 0) and EXCLUDED from doc length /
+    fieldnorms / total_tokens, so they never perturb BM25.
+    """
+    import gc
+
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
     if n == 0:
         return _empty_frame()
+    # cyclic GC gen2 scans over millions of short-lived token objects
+    # dominate in long-lived workers; refcounting frees everything here
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _build_segment_rows_inner(doc_ids, texts, segment_id,
+                                         store_positions, attr_tokens)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _build_segment_rows_inner(
+    doc_ids: np.ndarray,
+    texts,
+    segment_id: int,
+    store_positions: bool,
+    attr_tokens: list | None = None,
+) -> pd.DataFrame:
+    n = doc_ids.size
 
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
-    toks_list = [tokenize(texts[i]) for i in order]
-    lens = np.fromiter((len(t) for t in toks_list), dtype=np.int64, count=n)
+    flat, lens = _tokenize_flat([texts[i] for i in order])
     fnids_per_doc = fieldnorm_to_id(lens)
-
-    flat = [tok for toks in toks_list for tok in toks]
-    total = len(flat)
+    total = int(lens.sum())
 
     # ---- doc rows -------------------------------------------------------
     d_rows = pd.DataFrame({
@@ -91,11 +165,28 @@ def build_segment_rows(
         out = pd.concat([d_rows, g_rows], ignore_index=True)
         return out.reindex(columns=_COLS)
 
-    terms_arr = np.asarray(flat, dtype=object)
+    terms_arr = flat
     tok_docs = np.repeat(doc_ids, lens)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     # position of token within its doc
     tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    if attr_tokens is not None:
+        # append attribute-filter postings (tf=1, pos 0) — note doclen /
+        # fieldnorm / total_tokens above already exclude them
+        attr_lists = [attr_tokens[i] for i in order]
+        a_lens = np.fromiter((len(a) for a in attr_lists),
+                             dtype=np.int64, count=n)
+        a_total = int(a_lens.sum())
+        if a_total:
+            a_flat = np.asarray(
+                [t for al in attr_lists for t in al], dtype=object)
+            terms_arr = np.concatenate([terms_arr, a_flat])
+            tok_docs = np.concatenate(
+                [tok_docs, np.repeat(doc_ids, a_lens)])
+            tok_pos = np.concatenate(
+                [tok_pos, np.zeros(a_total, dtype=np.int64)])
+            total += a_total
 
     # sorted term dictionary order == UTF-8 byte order == codepoint order
     codes, uniques = pd.factorize(terms_arr, sort=True)

@@ -17,18 +17,21 @@ from collections import defaultdict
 import numpy as np
 
 from .bm25 import Bm25Weight
-from .fieldnorm import fieldnorm_to_id, id_to_fieldnorm
+from .fieldnorm import fieldnorm_to_id
 from .queryengine.parser import ParsedQuery, parse_query
 from .tokenizer import tokenize
 
 
 class OracleIndex:
-    def __init__(self, doc_ids, texts, dtype=np.float32):
+    def __init__(self, doc_ids, texts, dtype=np.float32,
+                 attr_tokens=None):
         self.dtype = dtype
         self.doc_ids = np.asarray(doc_ids, dtype=np.int64)
         order = np.argsort(self.doc_ids, kind="stable")
         self.doc_ids = self.doc_ids[order]
         texts = [texts[i] for i in order]
+        attrs = ([attr_tokens[i] for i in order]
+                 if attr_tokens is not None else None)
         self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         doclens = np.zeros(len(texts), dtype=np.int64)
         for i, (did, text) in enumerate(zip(self.doc_ids, texts)):
@@ -36,6 +39,10 @@ class OracleIndex:
             doclens[i] = len(toks)
             for pos, t in enumerate(toks):
                 self.postings[t].setdefault(int(did), []).append(pos)
+            if attrs is not None:
+                # attribute filter terms: tf=1, pos 0, NOT in doclen
+                for t in attrs[i]:
+                    self.postings[t].setdefault(int(did), []).append(0)
         self.doclens = doclens
         self.fieldnorm_ids = fieldnorm_to_id(doclens)
         self.num_docs = len(texts)
@@ -78,6 +85,10 @@ class OracleIndex:
         clause_tfs: list[tuple[Bm25Weight, dict[int, int]]] = []
         cand: set[int] | None = None
         for c in pq.positive:
+            if c.kind == "filter":
+                docs = set(self.postings.get(c.tokens[0], {}))
+                cand = docs if cand is None else (cand & docs)
+                continue  # unscored
             if c.kind == "term":
                 t = c.tokens[0]
                 plist = self.postings.get(t, {})
@@ -121,7 +132,7 @@ class OracleIndex:
         pq = parse_query(query) if isinstance(query, str) else query
         cand: set[int] | None = None
         for c in pq.positive:
-            if c.kind == "term":
+            if c.kind in ("term", "filter"):
                 docs = set(self.postings.get(c.tokens[0], {}))
             else:
                 docs = set(self._phrase_docs(c.tokens))

@@ -72,6 +72,16 @@ def _tf_factor(tf_expr: str) -> str:
             f"(1 - 0.75 + 0.75 * cand.fnq / s.avgfn))")
 
 
+def _filter_cond(token: str, table: str, id_col: str,
+                 doc_expr: str) -> str:
+    """SQL for an attribute-filter term like 'lang:de' against the
+    source table's column (values matched lowercase, as indexed)."""
+    field, _, value = token.partition(":")
+    return (f"EXISTS (SELECT 1 FROM {table} t_{field} "
+            f"WHERE t_{field}.{id_col} = {doc_expr} "
+            f"AND lower(CAST(t_{field}.{field} AS VARCHAR)) = {_q(value)})")
+
+
 def bm25_search_sql(query: str, k: int | None = 20,
                     table: str = "documents", text_col: str = "text",
                     id_col: str = "doc_id") -> str:
@@ -102,6 +112,8 @@ dfs AS (
                 f"AND {a}.term = {_q(c.tokens[0])}")
             score_terms.append(
                 f"{_idf(c.tokens[0])} * {_tf_factor(f'{a}.tf')}")
+        elif c.kind == "filter":
+            pass  # unscored; condition added below
         else:
             name = f"ph{ci}"
             ctes.append(_phrase_cte(name, c.tokens))
@@ -109,6 +121,8 @@ dfs AS (
             joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
             idf_sum = " + ".join(_idf(t) for t in c.tokens)
             score_terms.append(f"({idf_sum}) * {_tf_factor(f'{a}.tf')}")
+    if not score_terms:
+        score_terms = ["0.0"]  # filter-only query
 
     # candidate set: all positive clauses matched, no negative group fully
     for ci, c in enumerate(pq.positive):
@@ -116,12 +130,17 @@ dfs AS (
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
                 f"AND tf.term = {_q(c.tokens[0])})")
+        elif c.kind == "filter":
+            exists_conds.append(_filter_cond(c.tokens[0], table, id_col,
+                                             "cand.doc_id"))
         else:
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM ph{ci} "
                 f"WHERE ph{ci}.doc_id = cand.doc_id)")
     for c in pq.negative:
         inner = " AND ".join(
+            _filter_cond(t, table, id_col, "cand.doc_id")
+            if ":" in t else
             f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = cand.doc_id "
             f"AND tok.term = {_q(t)})" for t in c.tokens)
         exists_conds.append(f"NOT ({inner})")
@@ -151,12 +170,17 @@ def count_sql(query: str, table: str = "documents",
             conds.append(
                 f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
                 f"AND tok.term = {_q(c.tokens[0])})")
+        elif c.kind == "filter":
+            conds.append(_filter_cond(c.tokens[0], table, id_col,
+                                      "dl.doc_id"))
         else:
             ctes.append(_phrase_cte(f"ph{ci}", c.tokens))
             conds.append(f"EXISTS (SELECT 1 FROM ph{ci} "
                          f"WHERE ph{ci}.doc_id = dl.doc_id)")
     for c in pq.negative:
         inner = " AND ".join(
+            _filter_cond(t, table, id_col, "dl.doc_id")
+            if ":" in t else
             f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
             f"AND tok.term = {_q(t)})" for t in c.tokens)
         conds.append(f"NOT ({inner})")

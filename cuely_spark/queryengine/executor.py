@@ -60,6 +60,9 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype):
         if c.kind == "term":
             t = c.tokens[0]
             specs.append(("term", by_term.get(t, empty_tp), weights[t]))
+        elif c.kind == "filter":
+            specs.append(("filter", by_term.get(c.tokens[0], empty_tp),
+                          None))
         else:
             tps = [by_term.get(t, empty_tp) for t in c.tokens]
             specs.append(("phrase", tps, weights[("phrase", c.tokens)]))
@@ -69,6 +72,10 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype):
 
 
 class IndexReader:
+    #: queries whose estimated posting-block count is at or below this
+    #: run in ONE task (coordinator path); above it, per-segment fanout.
+    small_query_blocks: int = 4096
+
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
@@ -82,6 +89,23 @@ class IndexReader:
         self._turns_path = self.stats.get(
             "turns_path", os.path.join(path, "turns"))
         self._segment_map = self.stats.get("segment_map")
+        # stage-A-written turns carry (__ord, segment_id); doc_id is
+        # offset[segment] + __ord (offsets recorded at build time)
+        self._offsets = self.stats.get("segment_offsets")
+
+    def _read_turns(self):
+        """Row store with a doc_id column, whatever the id mode."""
+        from pyspark.sql import functions as F
+
+        turns = self.spark.read.parquet(self._turns_path)
+        if self._offsets is not None and "doc_id" not in turns.columns:
+            off = self.spark.createDataFrame(
+                [(int(k), int(v)) for k, v in self._offsets.items()],
+                "segment_id int, __off long")
+            turns = (turns.join(F.broadcast(off), "segment_id")
+                     .withColumn("doc_id", F.col("__off") + F.col("__ord"))
+                     .drop("__off", "__ord"))
+        return turns
 
     # ------------------------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -156,13 +180,9 @@ class IndexReader:
             .select(*cols)
         )
 
-        def run_segment(pdf):
+        def eval_segment(pdf, seg: int):
             import pandas as pd
 
-            if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "score": [],
-                                     "segment_id": []})
-            seg = int(pdf["segment_id"].iloc[0])
             by_term = {t: _build_term_postings(g)
                        for t, g in pdf.groupby("term")}
             specs, negs = _make_specs(pq, weights, by_term, dtype)
@@ -173,9 +193,40 @@ class IndexReader:
                 "segment_id": np.full(docs.size, seg, dtype="int64"),
             })
 
-        local = postings.groupBy("segment_id").applyInPandas(
-            run_segment, schema="doc_id long, score double, segment_id long"
-        )
+        out_schema = "doc_id long, score double, segment_id long"
+
+        # small queries (few posting blocks): one task evaluating all
+        # segments beats a per-segment shuffle fanout — the coordinator-
+        # handles-small-queries path. Large queries keep the per-segment
+        # groupBy fanout that scales with the cluster.
+        est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
+        if est_blocks <= self.small_query_blocks:
+            def run_all(batches):
+                import pandas as pd
+
+                parts = [p for p in batches if len(p)]
+                if not parts:
+                    return
+                allp = pd.concat(parts, ignore_index=True)
+                for seg, grp in allp.groupby("segment_id"):
+                    yield eval_segment(grp, int(seg))
+
+            # repartition (NOT coalesce: coalesce would collapse the
+            # parallel scan itself into one task) — the filtered posting
+            # rows are small, the shuffle is cheap
+            local = postings.repartition(1).mapInPandas(run_all,
+                                                        schema=out_schema)
+        else:
+            def run_segment(pdf):
+                import pandas as pd
+
+                if len(pdf) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": [],
+                                         "segment_id": []})
+                return eval_segment(pdf, int(pdf["segment_id"].iloc[0]))
+
+            local = postings.groupBy("segment_id").applyInPandas(
+                run_segment, schema=out_schema)
         top = (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
         if with_meta:
             segs = [r["segment_id"] for r in top.select("segment_id")
@@ -185,7 +236,7 @@ class IndexReader:
                         if new in set(segs)]
             ids = [r["doc_id"] for r in top.select("doc_id").collect()]
             turns = (
-                self.spark.read.parquet(self._turns_path)
+                self._read_turns()
                 .filter(F.col("segment_id").isin(segs)
                         & F.col("doc_id").isin(ids))
             )
@@ -245,6 +296,42 @@ class IndexReader:
                 .applyInPandas(run_segment, schema="n long")
                 .agg(F.sum("n").alias("n")).collect())
         return int(rows[0]["n"] or 0)
+
+    # ------------------------------------------------------------------
+    # generic point queries (reference: crates/core/src/generic_query/)
+    def get_turn(self, conv_id: str, turn_idx: int):
+        """Point lookup of one document's stored fields (reference:
+        GetWebpageQuery — TermQuery on the exact key + first-doc
+        collector). Partition pruning + parquet predicate pushdown make
+        this a 1-row-group read."""
+        from pyspark.sql import functions as F
+
+        return (self._read_turns()
+                .filter((F.col("conv_id") == conv_id)
+                        & (F.col("turn_idx") == turn_idx)))
+
+    def get_conversation(self, conv_id: str):
+        """All turns of a conversation, in order (GetSiteUrls analog)."""
+        from pyspark.sql import functions as F
+
+        return (self._read_turns()
+                .filter(F.col("conv_id") == conv_id)
+                .orderBy("turn_idx"))
+
+    def top_key_phrases(self, k: int = 20):
+        """Top terms by tf-idf mass (TopKeyPhrases analog): score =
+        ttf * idf(df, N) over the global term stats."""
+        from pyspark.sql import functions as F
+
+        ts = (self.spark.read.parquet(self._term_stats_path)
+              .filter(~F.col("term").rlike(r"^[a-z_]+:.")))
+        n = float(self.num_docs)
+        score = F.round(
+            F.col("ttf") * F.log(
+                F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)), 4)
+        return (ts.select("term", score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("term")).limit(k))
 
     def approx_count(self, query: str | ParsedQuery) -> int:
         """Term-independence estimate N * prod(df_i / N) (reference:

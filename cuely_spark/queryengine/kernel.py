@@ -206,8 +206,12 @@ def segment_topk(
 ):
     """Full per-segment evaluation.
 
-    clause_specs: list of ("term", TermPostings, Bm25Weight) or
-                  ("phrase", [TermPostings...], Bm25Weight)
+    clause_specs: list of ("term", TermPostings, Bm25Weight),
+                  ("phrase", [TermPostings...], Bm25Weight), or
+                  ("filter", TermPostings, None) — attribute filters
+                  participate in the conjunction but contribute 0 score
+                  (reference: site:/intitle: clauses are unscored
+                  Must occurrences).
     A missing term in this segment (TermPostings with 0 blocks) makes the
     conjunction empty.
     Returns (doc_ids, scores) local top-k.
@@ -251,6 +255,8 @@ def segment_topk(
     # score clause by clause in query order (f32 accumulation order)
     total = np.zeros(cand.size, dtype=d)
     for kind, tp, w in clause_specs:
+        if kind == "filter":
+            continue  # conjunction-only, unscored
         if kind == "term":
             tfs, fnids, found = tp.lookup(cand)
             assert found.all()

@@ -7,6 +7,11 @@ query/plan/mod.rs:235-300) for a single-text-field index:
 - bareword        -> Must term(s): the word is run through the same
                      tokenizer as documents; each produced token is a
                      conjunctive (AND) clause.
+- field:value     -> attribute filter (the site:/intitle: analog,
+                     parser/mod.rs:221-247): matches docs whose indexed
+                     attribute term `field:value` exists, but does NOT
+                     contribute to the BM25 score. field must be a known
+                     attribute name (role, tool, lang, source).
 - "quoted phrase" -> Must phrase: tokens must appear adjacent (slop 0).
                      Smart quotes accepted. (parser/mod.rs: phrase incl.
                      smart quotes “”)
@@ -60,6 +65,19 @@ class ParsedQuery:
 
 _QUOTES = {'"': '"', "“": "”", "”": "”"}
 
+# attribute-filter fields indexed as synthetic `field:value` terms
+FILTER_FIELDS = ("role", "tool", "lang", "source")
+
+
+def _as_filter(raw: str) -> str | None:
+    """'role:user' -> normalized filter term, else None."""
+    if ":" not in raw:
+        return None
+    field, _, value = raw.partition(":")
+    if field.lower() in FILTER_FIELDS and value and not value.isspace():
+        return f"{field.lower()}:{value.lower()}"
+    return None
+
 
 def _raw_split(q: str) -> list[str]:
     """Split into raw parser terms, keeping quoted phrases intact."""
@@ -104,9 +122,15 @@ def parse_query(q: str) -> ParsedQuery:
             if toks:
                 clauses.append(Clause("term", toks))
         elif raw.startswith("-") and len(raw) > 1:
-            toks = tuple(tokenize(raw[1:]))
-            if toks:
-                clauses.append(Clause("not", toks))
+            filt = _as_filter(raw[1:])
+            if filt is not None:
+                clauses.append(Clause("not", (filt,)))
+            else:
+                toks = tuple(tokenize(raw[1:]))
+                if toks:
+                    clauses.append(Clause("not", toks))
+        elif (filt := _as_filter(raw)) is not None:
+            clauses.append(Clause("filter", (filt,)))
         else:
             for t in tokenize(raw):
                 clauses.append(Clause("term", (t,)))

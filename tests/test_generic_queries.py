@@ -1,0 +1,48 @@
+"""Generic point queries (reference: crates/core/src/generic_query/)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def reader(spark, transcripts_small, tmp_path_factory):
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    df = spark.createDataFrame(
+        transcripts_small.drop(columns=["expected_doc_id"]))
+    out = str(tmp_path_factory.mktemp("idx_generic"))
+    build_index(spark, df, out, rows_per_segment=2000)
+    return IndexReader(spark, out)
+
+
+def test_get_turn(reader, transcripts_small):
+    exp = transcripts_small.iloc[123]
+    rows = reader.get_turn(exp["conv_id"], int(exp["turn_idx"])).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == exp["text"]
+    assert rows[0]["doc_id"] == 123
+
+
+def test_get_conversation(reader, transcripts_small):
+    conv = transcripts_small.iloc[200]["conv_id"]
+    exp = transcripts_small[transcripts_small["conv_id"] == conv]
+    rows = reader.get_conversation(conv).collect()
+    assert [r["turn_idx"] for r in rows] == exp["turn_idx"].tolist()
+    assert [r["text"] for r in rows] == exp["text"].tolist()
+
+
+def test_top_key_phrases(reader, oracle_small):
+    import numpy as np
+
+    rows = reader.top_key_phrases(k=10).collect()
+    assert len(rows) == 10
+    # recompute the expected scores from the oracle
+    n = oracle_small.num_docs
+    exp = []
+    for term, plist in oracle_small.postings.items():
+        df = len(plist)
+        ttf = sum(len(p) for p in plist.values())
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        exp.append((term, round(ttf * idf, 4)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r["term"], r["score"]) for r in rows] == exp[:10]
