@@ -92,13 +92,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _ft_search(q: str, k):
+def _ft_search(q: str, k, occur: str = "must"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         r = _reader(spark, sf_dir)
         eff_k = k if k is not None else r.num_docs
-        res = r.search(q, k=eff_k, dtype=np.float64)
+        res = r.search(q, k=eff_k, dtype=np.float64, occur=occur)
         return res.select("doc_id", F.round(F.col("score"), 4)
                           .alias("score"))
     return run
@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for name, (q, k) in FT_QUERIES.items():
         out[name] = _ft_search(q, k)
+    out["ft_or_topk"] = _ft_search("merge window dup", 25, occur="should")
     for name, q in FT_COUNTS.items():
         out[name] = _ft_count(q)
     out["ft_term_stats"] = _ft_term_stats
@@ -225,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (q, k) in FT_QUERIES.items():
         out[name] = bm25_search_sql(q, k=k)
+    out["ft_or_topk"] = bm25_search_sql("merge window dup", k=25,
+                                        occur="should")
     for name, q in FT_COUNTS.items():
         out[name] = count_sql(q)
     out["ft_term_stats"] = term_stats_sql()

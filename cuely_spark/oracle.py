@@ -78,6 +78,37 @@ class OracleIndex:
                 out[d] = int(cand.size)
         return out
 
+    def search_should(self, query: str | ParsedQuery, k: int = 20):
+        """Scored disjunction (Should): docs matching ANY term clause,
+        score = sum over matching clauses in query order."""
+        pq = parse_query(query) if isinstance(query, str) else query
+        assert all(c.kind == "term" for c in pq.positive)
+        d = self.dtype
+        clause = []
+        cand: set[int] = set()
+        for c in pq.positive:
+            plist = self.postings.get(c.tokens[0], {})
+            tfs = {doc: len(ps) for doc, ps in plist.items()}
+            clause.append((self._weight(self.df(c.tokens[0])), tfs))
+            cand |= set(tfs)
+        for c in pq.negative:
+            plists = [set(self.postings.get(t, {})) for t in c.tokens]
+            if plists and all(plists):
+                cand -= set.intersection(*plists)
+        import heapq
+        scored = []
+        for doc in cand:
+            fn = self._fn_by_doc[doc]
+            s = d(0.0)
+            for w, tfs in clause:
+                if doc in tfs:
+                    s = d(s + w.score(np.array([fn]),
+                                      np.array([tfs[doc]]))[0])
+            scored.append((float(s), doc))
+        top = heapq.nsmallest(k, scored, key=lambda x: (-x[0], x[1]))
+        return (np.array([t[1] for t in top], dtype=np.int64),
+                np.array([t[0] for t in top], dtype=self.dtype))
+
     def search(self, query: str | ParsedQuery, k: int = 20):
         """Return (doc_ids, scores) arrays, rank order, docID tiebreak."""
         pq = parse_query(query) if isinstance(query, str) else query

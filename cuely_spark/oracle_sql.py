@@ -84,9 +84,12 @@ def _filter_cond(token: str, table: str, id_col: str,
 
 def bm25_search_sql(query: str, k: int | None = 20,
                     table: str = "documents", text_col: str = "text",
-                    id_col: str = "doc_id") -> str:
+                    id_col: str = "doc_id", occur: str = "must") -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
-    k=None returns ALL matching docs (no LIMIT)."""
+    k=None returns ALL matching docs (no LIMIT).
+    occur="should" scores the disjunction (term clauses only)."""
+    if occur == "should":
+        return _bm25_should_sql(query, k, table, text_col, id_col)
     pq: ParsedQuery = parse_query(query)
     all_terms = sorted(set(pq.all_terms()))
     terms_in = ", ".join(_q(t) for t in all_terms)
@@ -149,6 +152,61 @@ dfs AS (
 cand AS (
   SELECT cand.doc_id, cand.fnq FROM dlq cand
   WHERE {' AND '.join(exists_conds)}
+)
+SELECT cand.doc_id AS doc_id,
+       round({' + '.join(score_terms)}, 4) AS score
+FROM cand {' '.join(joins)}
+ORDER BY score DESC, doc_id ASC"""
+    if k is not None:
+        sql += f"\nLIMIT {k}"
+    return sql
+
+
+def _bm25_should_sql(query: str, k: int | None, table: str,
+                     text_col: str, id_col: str) -> str:
+    """Scored disjunction: docs matching ANY term clause; score = sum of
+    matching contributions (LEFT JOIN + COALESCE per clause)."""
+    pq = parse_query(query)
+    assert all(c.kind == "term" for c in pq.positive)
+    all_terms = sorted({c.tokens[0] for c in pq.positive}
+                       | {t for c in pq.negative for t in c.tokens})
+    terms_in = ", ".join(_q(t) for t in all_terms)
+    ctes = [base_ctes(table, text_col, id_col)]
+    ctes.append(f"""tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+)""")
+    joins = ["CROSS JOIN stats s"]
+    score_terms = []
+    any_conds = []
+    for ci, c in enumerate(pq.positive):
+        t = c.tokens[0]
+        a = f"t{ci}"
+        joins.append(
+            f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
+            f"AND {a}.term = {_q(t)}")
+        score_terms.append(
+            f"COALESCE({_idf(t)} * {_tf_factor(f'{a}.tf')}, 0.0)")
+        any_conds.append(
+            f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
+            f"AND tf.term = {_q(t)})")
+    neg_conds = []
+    for c in pq.negative:
+        inner = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = cand.doc_id "
+            f"AND tok.term = {_q(t)})" for t in c.tokens)
+        neg_conds.append(f"NOT ({inner})")
+    where = f"({' OR '.join(any_conds)})"
+    if neg_conds:
+        where += " AND " + " AND ".join(neg_conds)
+    sql = f"""WITH {', '.join(ctes)},
+cand AS (
+  SELECT cand.doc_id, cand.fnq FROM dlq cand
+  WHERE {where}
 )
 SELECT cand.doc_id AS doc_id,
        round({' + '.join(score_terms)}, 4) AS score

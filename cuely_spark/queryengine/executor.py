@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import TOP_K_DEFAULT
 from ..bm25 import Bm25Weight
-from .kernel import TermPostings, count_matches, segment_topk
+from .kernel import TermPostings, count_matches, segment_topk, union_topk
 from .parser import ParsedQuery, parse_query
 
 _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
@@ -159,16 +159,32 @@ class IndexReader:
 
     # ------------------------------------------------------------------
     def search(self, query: str | ParsedQuery, k: int = TOP_K_DEFAULT,
-               dtype=np.float32, with_meta: bool = False):
-        """Top-k DataFrame (doc_id, score[, conv cols]), rank order."""
+               dtype=np.float32, with_meta: bool = False,
+               occur: str = "must", max_docs_per_segment: int | None = None):
+        """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
+
+        occur="must" (default): conjunctive AND of all positive clauses
+        (the reference's default, query/plan/mod.rs:299).
+        occur="should": scored disjunction via multi-scorer block-max
+        WAND (term clauses only).
+        max_docs_per_segment: ShortCircuit cap — consider only the first
+        N candidate docs per segment in doc order (reference default
+        250_000, config/defaults.rs:38-40)."""
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
         dfs = self.term_dfs(pq.all_terms())
-        # a required term absent from the whole index -> empty result
-        required = [c.tokens for c in pq.positive]
-        if any(dfs[t] == 0 for toks in required for t in toks):
-            return self._empty_result()
+        if occur == "should":
+            if any(c.kind != "term" for c in pq.positive):
+                raise ValueError(
+                    "occur='should' supports plain term clauses only")
+            if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
+                return self._empty_result()
+        else:
+            # a required term absent from the whole index -> empty result
+            required = [c.tokens for c in pq.positive]
+            if any(dfs[t] == 0 for toks in required for t in toks):
+                return self._empty_result()
         weights = self._weights(pq, dfs, dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
@@ -186,7 +202,14 @@ class IndexReader:
             by_term = {t: _build_term_postings(g)
                        for t, g in pdf.groupby("term")}
             specs, negs = _make_specs(pq, weights, by_term, dtype)
-            docs, scores = segment_topk(specs, negs, k, dtype=dtype)
+            if occur == "should":
+                term_specs = [(tp, w) for kind, tp, w in specs]
+                docs, scores = union_topk(term_specs, k, dtype=dtype,
+                                          mustnot_groups=negs)
+            else:
+                docs, scores = segment_topk(
+                    specs, negs, k, dtype=dtype,
+                    max_docs=max_docs_per_segment)
             return pd.DataFrame({
                 "doc_id": docs.astype("int64"),
                 "score": scores.astype("float64"),

@@ -164,6 +164,112 @@ def single_term_topk(tp: TermPostings, weight: Bm25Weight, k: int):
     return best_docs, best_scores
 
 
+def union_topk(term_specs: list[tuple], k: int, dtype=np.float32,
+               mustnot_groups: list | None = None):
+    """Scored disjunction (Should) top-k with multi-scorer block-max
+    pruning — the vectorized analog of the reference's Block-Max WAND
+    (crates/tantivy/src/query/boolean_query/block_wand.rs:16-212).
+
+    term_specs: [(TermPostings, Bm25Weight), ...] in query-clause order.
+
+    Instead of the doc-at-a-time pivot walk, doc space is swept into
+    elementary intervals at block boundaries; each interval's score
+    upper bound is the sum of the covering blocks' bounds (numpy event
+    sweep). Intervals are processed in descending-bound chunks; exact
+    scoring (concat + stable sort + reduceat, preserving clause order
+    for f32 accumulation) stops when the next bound cannot beat the
+    current k-th score. Property-tested equal to exhaustive union.
+    """
+    d = dtype
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
+    specs = [(tp, w) for tp, w in term_specs if tp.nblocks > 0]
+    if not specs:
+        return empty
+
+    # per-block upper bounds and the interval event sweep
+    firsts, ends, ubs = [], [], []
+    for tp, w in specs:
+        ub = w.score(tp.block_min_fnid, tp.block_max_tf).astype(np.float64)
+        firsts.append(tp.first_doc)
+        ends.append(tp.last_doc + 1)
+        ubs.append(ub)
+    f_all = np.concatenate(firsts)
+    e_all = np.concatenate(ends)
+    u_all = np.concatenate(ubs)
+    pts = np.unique(np.concatenate([f_all, e_all]))
+    delta = np.zeros(pts.size, dtype=np.float64)
+    np.add.at(delta, np.searchsorted(pts, f_all), u_all)
+    np.add.at(delta, np.searchsorted(pts, e_all), -u_all)
+    bound = np.cumsum(delta)[:-1]          # bound of [pts[j], pts[j+1])
+    ivl_lo = pts[:-1]
+    ivl_hi = pts[1:] - 1                   # inclusive
+    live = bound > 0
+    bound, ivl_lo, ivl_hi = bound[live], ivl_lo[live], ivl_hi[live]
+
+    order = np.argsort(-bound, kind="stable")
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=d)
+    threshold = -np.inf
+    chunk = 64
+    for s in range(0, order.size, chunk):
+        sel = order[s:s + chunk]
+        # strict-less with slack: f32 score accumulation can round a hair
+        # above the f64 sum of per-block bounds
+        if (best_docs.size >= k
+                and float(bound[sel[0]])
+                < threshold - 1e-5 * abs(threshold) - 1e-9):
+            break
+        lo, hi = ivl_lo[sel], ivl_hi[sel]
+        # gather contributions from blocks overlapping these intervals
+        docs_parts, contrib_parts = [], []
+        for tp, w in specs:
+            blocks = np.unique(np.concatenate([
+                tp.blocks_overlapping(lo), tp.blocks_overlapping(hi)]))
+            if blocks.size == 0:
+                continue
+            dd, tf, fn, _ = tp.decode_blocks(blocks)
+            # keep docs inside one of the chunk's intervals
+            lo_s = np.sort(lo)
+            hi_s = ivl_hi[sel][np.argsort(lo)]
+            idx = np.searchsorted(lo_s, dd, side="right") - 1
+            ok = (idx >= 0) & (dd <= hi_s[np.clip(idx, 0, hi_s.size - 1)])
+            if not ok.any():
+                continue
+            docs_parts.append(dd[ok])
+            contrib_parts.append(w.score(fn[ok], tf[ok]))
+        if not docs_parts:
+            continue
+        # per-clause scatter-add in clause order: reproduces the f32
+        # sequential accumulation of the oracle/reference exactly
+        # (np.add.reduceat would not — it reorders the reduction)
+        docs_u = np.unique(np.concatenate(docs_parts))
+        scores = np.zeros(docs_u.size, dtype=d)
+        for pd_, pc_ in zip(docs_parts, contrib_parts):
+            idx = np.searchsorted(docs_u, pd_)
+            scores[idx] = (scores[idx] + pc_.astype(d)).astype(d)
+        # MustNot exclusion BEFORE merging so pruning never hides a doc
+        # the exhaustive evaluation would have kept
+        for group in (mustnot_groups or []):
+            if not group or any(t.nblocks == 0 for t in group) \
+                    or docs_u.size == 0:
+                continue
+            sub = docs_u
+            for tp in group:
+                if sub.size == 0:
+                    break
+                _, _, found = tp.lookup(sub)
+                sub = sub[found]
+            if sub.size:
+                keep = ~np.isin(docs_u, sub, assume_unique=True)
+                docs_u, scores = docs_u[keep], scores[keep]
+        best_docs = np.concatenate([best_docs, docs_u])
+        best_scores = np.concatenate([best_scores, scores])
+        best_docs, best_scores = _merge_topk(best_docs, best_scores, k)
+        if best_docs.size >= k:
+            threshold = float(best_scores[-1])
+    return best_docs, best_scores
+
+
 def intersect_terms(tps: list[TermPostings]):
     """Conjunctive intersection, rarest list drives (leapfrog over block
     ranges). Returns sorted candidate doc ids."""
@@ -203,6 +309,7 @@ def segment_topk(
     mustnot_groups: list[list[TermPostings]],
     k: int,
     dtype=np.float32,
+    max_docs: int | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -225,7 +332,7 @@ def segment_topk(
 
     # fast path: single term clause, no negation -> block-max WAND
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
-            and not mustnot_groups):
+            and not mustnot_groups and max_docs is None):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
@@ -236,6 +343,12 @@ def segment_topk(
     cand = intersect_terms(all_tps)
     if cand.size == 0:
         return empty
+    if max_docs is not None and cand.size > max_docs:
+        # ShortCircuit: stop considering docs past the per-segment cap,
+        # in ascending doc order (reference:
+        # crates/tantivy/src/query/shortcircuit.rs:22-74, used with
+        # max_docs_considered=250k, config/defaults.rs:38-40)
+        cand = cand[:max_docs]
 
     # MustNot exclusion: docs matching ALL terms of a negative group
     for group in mustnot_groups:
