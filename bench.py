@@ -93,6 +93,13 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
             times.append(time.time() - tq)
         queries[name] = round(statistics.median(times), 4)
 
+    # ---- 2b. batch mode: the whole query set in ONE job
+    r.search_many(QUERY_SET, k=20).collect()  # warm
+    tb = time.time()
+    r.search_many(QUERY_SET, k=20).collect()
+    batch_sec = time.time() - tb
+    queries["batch_all_per_query"] = round(batch_sec / len(QUERY_SET), 4)
+
     # ---- 3. documents-table fulltext queries (driver surface)
     import __spark_entry__ as entry
 

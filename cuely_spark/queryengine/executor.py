@@ -270,6 +270,80 @@ class IndexReader:
                    .orderBy(F.desc("score"), F.asc("doc_id")))
         return top.drop("segment_id")
 
+    def search_many(self, queries: dict, k: int = TOP_K_DEFAULT,
+                    dtype=np.float32):
+        """Evaluate MANY queries in ONE Spark job — queries as data.
+
+        One postings scan filtered by the union of all query terms; each
+        segment kernel builds its TermPostings once and evaluates every
+        query against them; a windowed global merge ranks per query.
+        Amortizes the per-job overhead that dominates single-query
+        latency in local mode (the analog of the reference's
+        shard-parallel query fan-out, but across the query set).
+
+        Returns DataFrame (query, rank, doc_id, score).
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        parsed = {name: (parse_query(q) if isinstance(q, str) else q)
+                  for name, q in queries.items()}
+        all_terms = sorted({t for pq in parsed.values()
+                            for t in pq.all_terms()})
+        dfs = self.term_dfs(all_terms)
+        weights = {name: self._weights(pq, dfs, dtype)
+                   for name, pq in parsed.items()}
+        # queries with an absent required term are dropped up front
+        live = {}
+        for name, pq in parsed.items():
+            required = [c.tokens for c in pq.positive]
+            if not any(dfs[t] == 0 for toks in required for t in toks):
+                live[name] = pq
+        if not live:
+            return self.spark.createDataFrame(
+                [], "query string, rank int, doc_id long, score double")
+        has_phrase = any(c.kind == "phrase"
+                         for pq in live.values() for c in pq.positive)
+        cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        live_terms = sorted({t for pq in live.values()
+                             for t in pq.all_terms()})
+        postings = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("term").isin(live_terms))
+            .select(*cols)
+        )
+
+        def run_segment(pdf):
+            import pandas as pd
+
+            out = []
+            if len(pdf):
+                by_term = {t: _build_term_postings(g)
+                           for t, g in pdf.groupby("term")}
+                for name, pq in live.items():
+                    specs, negs = _make_specs(pq, weights[name],
+                                              by_term, dtype)
+                    docs, scores = segment_topk(specs, negs, k,
+                                                dtype=dtype)
+                    if docs.size:
+                        out.append(pd.DataFrame({
+                            "query": name,
+                            "doc_id": docs.astype("int64"),
+                            "score": scores.astype("float64")}))
+            if not out:
+                return pd.DataFrame({"query": pd.Series(dtype=str),
+                                     "doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.concat(out, ignore_index=True)
+
+        local = postings.groupBy("segment_id").applyInPandas(
+            run_segment, schema="query string, doc_id long, score double")
+        w = (Window.partitionBy("query")
+             .orderBy(F.desc("score"), F.asc("doc_id")))
+        return (local.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query", "rank", "doc_id", "score"))
+
     def _empty_result(self):
         return self.spark.createDataFrame(
             [], schema="doc_id long, score double")
