@@ -135,6 +135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (q, k) in FT_QUERIES.items():
         out[name] = _ft_search(q, k)
     out["ft_or_topk"] = _ft_search("merge window dup", 25, occur="should")
+
+    BATCH = {"b_and": "merge table", "b_phrase": '"batch batch"',
+             "b_not": "merge -window"}
+
+    def ft_batch(spark, sf_dir):
+        r = _reader(spark, sf_dir)
+        import numpy as np
+
+        res = r.search_many(BATCH, k=r.num_docs, dtype=np.float64)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_batch_queries"] = ft_batch
     for name, q in FT_COUNTS.items():
         out[name] = _ft_count(q)
     out["ft_term_stats"] = _ft_term_stats
@@ -228,6 +240,12 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_search_sql(q, k=k)
     out["ft_or_topk"] = bm25_search_sql("merge window dup", k=25,
                                         occur="should")
+    out["ft_batch_queries"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, doc_id, score FROM ("
+        + bm25_search_sql(q, k=None) + ")"
+        for name, q in [("b_and", "merge table"),
+                        ("b_phrase", '"batch batch"'),
+                        ("b_not", "merge -window")])
     for name, q in FT_COUNTS.items():
         out[name] = count_sql(q)
     out["ft_term_stats"] = term_stats_sql()
