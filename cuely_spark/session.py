@@ -24,6 +24,9 @@ def get_spark(app: str = "cuely_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # zstd: -26% posting storage / -41% row store vs snappy, decode
+        # cost invisible next to the python kernels (measured round 1)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
