@@ -64,12 +64,22 @@ def merge_segments(
     n_src = len(seg_dirs)
     group = max(1, math.ceil(n_src / target_segments))
     seg_map = {s: i // group for i, s in enumerate(seg_dirs)}
-    map_expr = F.create_map(
-        *[F.lit(x) for kv in seg_map.items() for x in kv])
+    # segment -> merge-group lookup as a broadcast join, not a create_map
+    # literal: at ~10^5 source segments a map literal becomes a giant
+    # expression tree; a broadcast hash join stays O(1) per row
+    seg_map_df = F.broadcast(spark.createDataFrame(
+        [(int(s), int(g)) for s, g in seg_map.items()],
+        "segment_id int, new_seg int"))
+
+    def _remap(df):
+        """Replace segment_id with its merge-group id via broadcast join."""
+        return (df.join(seg_map_df, "segment_id")
+                .drop("segment_id")
+                .withColumnRenamed("new_seg", "segment_id"))
 
     p = (spark.read.option("basePath", src.index)
          .parquet(os.path.join(src.index, "kind=p"))
-         .withColumn("new_seg", map_expr[F.col("segment_id")]))
+         .join(seg_map_df, "segment_id"))
 
     # df per term within each merge group decides hot vs cold
     group_df = (p.groupBy("new_seg", "term")
@@ -103,9 +113,24 @@ def merge_segments(
             poss = np.concatenate([
                 decode_positions(bp, decode_tfs(bt))
                 for bp, bt in zip(pdf["positions"], pdf["tfs"])])
-        # globally stable doc ids: runs are disjoint but guard anyway
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, fnids = docs[order], tfs[order], fnids[order]
+        # globally stable doc ids: runs are disjoint, so the concatenation
+        # is normally already doc-sorted. When it is not (overlapping or
+        # out-of-order source runs), docs/tfs/fnids AND the ragged
+        # positions stream must be permuted together — permuting only the
+        # fixed-width arrays would attach position lists to wrong docs.
+        if docs.size > 1 and not np.all(docs[:-1] < docs[1:]):
+            order = np.argsort(docs, kind="stable")
+            if has_pos:
+                pre_off = np.zeros(len(tfs) + 1, dtype=np.int64)
+                np.cumsum(tfs, out=pre_off[1:])
+                starts = pre_off[:-1][order]
+            docs, tfs, fnids = docs[order], tfs[order], fnids[order]
+            if has_pos and poss.size:
+                new_off = np.zeros(len(tfs) + 1, dtype=np.int64)
+                np.cumsum(tfs, out=new_off[1:])
+                gather = (np.repeat(starts, tfs) + np.arange(poss.size)
+                          - np.repeat(new_off[:-1], tfs))
+                poss = poss[gather]
         out = []
         pos_off = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=pos_off[1:])
@@ -161,18 +186,16 @@ def merge_segments(
      .parquet(dst.index))
 
     # ---- d / t / g rows re-aggregated -----------------------------------
-    d_rows = (spark.read.option("basePath", src.index)
-              .parquet(os.path.join(src.index, "kind=d"))
-              .withColumn("segment_id", map_expr[F.col("segment_id")])
-              .withColumn("kind", F.lit("d")))
+    d_rows = _remap(spark.read.option("basePath", src.index)
+                    .parquet(os.path.join(src.index, "kind=d"))
+                    ).withColumn("kind", F.lit("d"))
     (d_rows.select(*[F.col(c) if c in d_rows.columns
                      else F.lit(None).alias(c) for c in cols])
      .write.mode("overwrite").partitionBy("kind", "segment_id")
      .parquet(dst.index))
 
-    t_rows = (spark.read.option("basePath", src.index)
-              .parquet(os.path.join(src.index, "kind=t"))
-              .withColumn("segment_id", map_expr[F.col("segment_id")])
+    t_rows = (_remap(spark.read.option("basePath", src.index)
+                     .parquet(os.path.join(src.index, "kind=t")))
               .groupBy("segment_id", "term")
               .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
               .withColumn("kind", F.lit("t")))
@@ -181,9 +204,8 @@ def merge_segments(
      .write.mode("overwrite").partitionBy("kind", "segment_id")
      .parquet(dst.index))
 
-    g_rows = (spark.read.option("basePath", src.index)
-              .parquet(os.path.join(src.index, "kind=g"))
-              .withColumn("segment_id", map_expr[F.col("segment_id")])
+    g_rows = (_remap(spark.read.option("basePath", src.index)
+                     .parquet(os.path.join(src.index, "kind=g")))
               .groupBy("segment_id")
               .agg(F.sum("num_docs").alias("num_docs"),
                    F.sum("num_terms").alias("num_terms"),

@@ -157,7 +157,19 @@ def _build_segment_rows_inner(
         "fieldnorm_id": fnids_per_doc.astype(np.int64),
     })
 
-    if total == 0:
+    # attribute-filter prep happens BEFORE the empty-text early return so
+    # a batch whose every doc has empty/whitespace text still indexes its
+    # role:/lang: attr postings (consistent with mixed batches)
+    attr_lists: list | None = None
+    a_lens = None
+    a_total = 0
+    if attr_tokens is not None:
+        attr_lists = [attr_tokens[i] for i in order]
+        a_lens = np.fromiter((len(a) for a in attr_lists),
+                             dtype=np.int64, count=n)
+        a_total = int(a_lens.sum())
+
+    if total == 0 and a_total == 0:
         g_rows = pd.DataFrame([{
             "kind": "g", "segment_id": segment_id, "num_docs": n,
             "num_terms": 0, "total_tokens": 0, "posting_bytes": 0,
@@ -171,13 +183,9 @@ def _build_segment_rows_inner(
     # position of token within its doc
     tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
-    if attr_tokens is not None:
+    if attr_lists is not None:
         # append attribute-filter postings (tf=1, pos 0) — note doclen /
         # fieldnorm / total_tokens above already exclude them
-        attr_lists = [attr_tokens[i] for i in order]
-        a_lens = np.fromiter((len(a) for a in attr_lists),
-                             dtype=np.int64, count=n)
-        a_total = int(a_lens.sum())
         if a_total:
             a_flat = np.asarray(
                 [t for al in attr_lists for t in al], dtype=object)

@@ -91,11 +91,14 @@ class TermPostings:
         (vectorized skip: searchsorted over block boundaries)."""
         if cand_docs.size == 0 or self.nblocks == 0:
             return np.empty(0, dtype=np.int64)
-        # block for candidate c = first block with last_doc >= c
+        # block for candidate c = first block with last_doc >= c.
+        # Order-independent: each candidate is matched against its own
+        # block (no positional slicing), so unsorted input is safe.
         idx = np.searchsorted(self.last_doc, cand_docs, side="left")
-        idx = idx[idx < self.nblocks]
-        hit = cand_docs[: idx.size] >= self.first_doc[idx]
-        return np.unique(idx[hit])
+        ok = idx < self.nblocks
+        valid = ok.copy()
+        valid[ok] = cand_docs[ok] >= self.first_doc[idx[ok]]
+        return np.unique(idx[valid])
 
     def lookup(self, cand_docs: np.ndarray):
         """(tfs, fnids, found_mask) for candidate docs (sorted)."""

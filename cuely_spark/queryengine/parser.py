@@ -63,7 +63,8 @@ class ParsedQuery:
         return list(seen)
 
 
-_QUOTES = {'"': '"', "“": "”", "”": "”"}
+# opener -> closer; a closing smart quote is NOT an opener
+_QUOTES = {'"': '"', "“": "”"}
 
 # attribute-filter fields indexed as synthetic `field:value` terms
 FILTER_FIELDS = ("role", "tool", "lang", "source")
@@ -118,9 +119,10 @@ def parse_query(q: str) -> ParsedQuery:
             elif toks:
                 clauses.append(Clause("phrase", toks))
         elif raw.startswith("--"):
-            toks = tuple(tokenize(raw[1:]))  # escaped literal "-term"
-            if toks:
-                clauses.append(Clause("term", toks))
+            # escaped literal "-term": same one-clause-per-token shape as
+            # the bareword branch ('term' clauses are single-token)
+            for t in tokenize(raw[1:]):
+                clauses.append(Clause("term", (t,)))
         elif raw.startswith("-") and len(raw) > 1:
             filt = _as_filter(raw[1:])
             if filt is not None:

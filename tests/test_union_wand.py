@@ -102,3 +102,57 @@ def test_oracle_should_vs_kernel_on_corpus(transcripts_small,
     exp_d, exp_s = oracle_small.search_should(q, k=20)
     assert got_d.tolist() == exp_d.tolist()
     np.testing.assert_allclose(got_s, exp_s, rtol=1e-6)
+
+
+def test_blocks_overlapping_unsorted_input():
+    """blocks_overlapping must be order-independent: an out-of-range
+    candidate preceding in-range ones must not shift the alignment
+    (regression: prefix-slice misalignment dropped needed blocks)."""
+    rng = np.random.default_rng(3)
+    docs = np.sort(rng.choice(100_000, size=2000, replace=False)
+                   ).astype(np.int64)
+    tp = _make_tp(docs, np.ones(2000, dtype=np.int64),
+                  np.zeros(2000, dtype=np.int64))
+    cand_sorted = np.sort(rng.choice(110_000, size=300, replace=False)
+                          ).astype(np.int64)
+    expect = tp.blocks_overlapping(cand_sorted)
+    for seed in range(5):
+        perm = np.random.default_rng(seed).permutation(cand_sorted.size)
+        got = tp.blocks_overlapping(cand_sorted[perm])
+        np.testing.assert_array_equal(got, expect)
+    # adversarial: one beyond-last-doc candidate first, real ones after
+    adv = np.concatenate([[docs[-1] + 50_000], docs[:10]]).astype(np.int64)
+    np.testing.assert_array_equal(
+        tp.blocks_overlapping(adv), tp.blocks_overlapping(np.sort(adv)))
+
+
+def test_union_wand_large_docspace_clustered():
+    """Large doc space + clustered per-term ranges: intervals arrive at
+    blocks_overlapping in bound-descending (unsorted) order and some
+    exceed a term's last block (regression: 21/300 trials returned wrong
+    top-k before the order-independence fix)."""
+    for seed in range(60):
+        rng = np.random.default_rng(seed)
+        n_docs = 2_000_000
+        terms = []
+        n_terms = int(rng.integers(2, 5))
+        for _ in range(n_terms):
+            nclust = int(rng.integers(1, 5))
+            parts = []
+            for _ in range(nclust):
+                base = int(rng.integers(0, n_docs - 4000))
+                width = int(rng.integers(500, 4000))
+                size = int(rng.integers(100, min(width, 1500)))
+                parts.append(base + rng.choice(width, size=size,
+                                               replace=False))
+            docs = np.unique(np.concatenate(parts)).astype(np.int64)
+            tfs = rng.integers(1, 30, size=docs.size).astype(np.int64)
+            fnids = rng.integers(0, 256, size=docs.size).astype(np.int64)
+            terms.append((docs, tfs, fnids))
+        k = int(rng.integers(1, 40))
+        weights = [Bm25Weight(t[0].size, n_docs, 13.7) for t in terms]
+        specs = [(_make_tp(*t), w) for t, w in zip(terms, weights)]
+        got_d, got_s = union_topk(specs, k)
+        exp_d, exp_s = _brute_force(terms, weights, k)
+        assert got_d.tolist() == exp_d, f"seed {seed}"
+        np.testing.assert_array_equal(got_s, exp_s)
