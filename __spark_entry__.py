@@ -342,7 +342,12 @@ FROM embeddings e,
       FROM embeddings WHERE vec_id = 0) q"""
     out["knn_scores_all"] = knn_base
     out["knn_topk"] = knn_base + "\nORDER BY cosine DESC, vec_id ASC LIMIT 10"
-    # knn_lsh / knn_ivf are approximate: rows-only check (no oracle)
+    # ANN pipelines are deterministic (md5 hyperplanes / rank-init kmeans
+    # with rounded centroids), so the full approximation is replicated in
+    # SQL and hash-checked — not just a recall bound
+    from cuely_spark.oracle_sql import ivf_knn_sql, lsh_knn_sql
+    out["knn_lsh"] = lsh_knn_sql(dim=64, nbits=6, k=10)
+    out["knn_ivf"] = ivf_knn_sql(dim=64, ncells=8, nprobe=3, iters=5, k=10)
 
     out["text_token_stats"] = """
 SELECT doc_id, len(t)::INT AS n_tokens, length(text)::INT AS n_chars,

@@ -63,12 +63,14 @@ def knn_bruteforce_pandas(emb: DataFrame, query_vec, k: int = 10,
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
-            yield pd.DataFrame({"vec_id": pdf[id_col],
-                                "cosine": np.round(cos, 6)})
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cosine": cos})
 
+    # round JVM-side (half-up, matches DuckDB round) — numpy's banker's
+    # rounding differs at .5 boundaries
     scored = emb.select(id_col, vec_col).mapInPandas(
         score, schema="vec_id long, cosine double")
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    return (scored.select("vec_id", F.round("cosine", 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
 
 
 def _hyperplanes(dim: int, nbits: int, seed: str = "lsh") -> np.ndarray:
@@ -124,25 +126,56 @@ def lsh_knn(emb: DataFrame, query_vec, k: int = 10, nbits: int = 8,
     return knn_bruteforce_pandas(cand, query_vec, k, vec_col, id_col)
 
 
+def _round_half_away(x: np.ndarray, d: int = 6) -> np.ndarray:
+    """round-half-away-from-zero — matches SQL round(), not np.round."""
+    s = 10.0 ** d
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+IVF_SAMPLE_CAP = 2048
+
+
+def train_ivf_centroids(sample: np.ndarray, ncells: int,
+                        iters: int = 5) -> np.ndarray:
+    """Deterministic kmeans-lite whose every step is reproducible in
+    plain SQL (the DuckDB oracle unrolls the same iterations):
+
+    - init = sample rows at ranks (i*n)//ncells (sample is id-sorted)
+    - assignment = cosine argmax, ties to the lowest cell
+    - update = per-cell mean rounded half-away to 6 decimals (so engine
+      summation-order noise (~1e-15) can never diverge the training);
+      empty cells keep their previous centroid
+    """
+    n_s = len(sample)
+    nc = min(ncells, n_s)
+    cents = sample[(np.arange(nc) * n_s) // nc].copy()
+    snorm = np.linalg.norm(sample, axis=1)
+    for _ in range(iters):
+        sim = (sample @ cents.T) / (snorm[:, None]
+                                    * np.linalg.norm(cents, axis=1))
+        assign = sim.argmax(axis=1)  # first max == lowest-cell tiebreak
+        new = cents.copy()
+        for c in range(nc):
+            m = sample[assign == c]
+            if len(m):
+                new[c] = _round_half_away(m.mean(axis=0), 6)
+        cents = new
+    return cents
+
+
 def ivf_knn(emb: DataFrame, query_vec, k: int = 10, ncells: int = 16,
             nprobe: int = 3, vec_col: str = "embedding",
             id_col: str = "vec_id", iters: int = 5) -> DataFrame:
     """IVF ANN: kmeans-lite centroids (sampled, driver-side numpy),
     cells assigned via mapInPandas, query probes `nprobe` cells."""
+    # deterministic training sample: an unordered limit() is partition-
+    # layout-dependent, so the trained cells (and results) would differ
+    # across clusters/runs; global top-n by id is tiny (n<=2048) and stable
     sample = np.stack([r[vec_col] for r in
-                       emb.select(vec_col).limit(2048).collect()]
+                       emb.select(id_col, vec_col).orderBy(id_col)
+                       .limit(IVF_SAMPLE_CAP).collect()]
                       ).astype(np.float64)
-    rng = np.random.default_rng(42)
-    cents = sample[rng.choice(len(sample), size=min(ncells, len(sample)),
-                              replace=False)]
-    for _ in range(iters):
-        d = sample @ cents.T
-        assign = np.argmax(d / (np.linalg.norm(sample, axis=1, keepdims=True)
-                                * np.linalg.norm(cents, axis=1)), axis=1)
-        for c in range(len(cents)):
-            m = sample[assign == c]
-            if len(m):
-                cents[c] = m.mean(axis=0)
+    cents = train_ivf_centroids(sample, ncells, iters)
 
     def assign_cells(batches):
         import pandas as pd
@@ -160,7 +193,7 @@ def ivf_knn(emb: DataFrame, query_vec, k: int = 10, ncells: int = 16,
     qv = np.asarray(query_vec, dtype=np.float64)
     qsim = (cents @ qv) / (np.linalg.norm(cents, axis=1)
                            * np.linalg.norm(qv))
-    probes = [int(c) for c in np.argsort(-qsim)[:nprobe]]
+    probes = [int(c) for c in np.argsort(-qsim, kind="stable")[:nprobe]]
     cand_ids = (cells.filter(F.col("cell").isin(probes))
                 .select(F.col("vec_id").alias("__cand_id")))
     cand = emb.join(cand_ids, F.col(id_col) == F.col("__cand_id"),

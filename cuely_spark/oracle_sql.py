@@ -260,3 +260,145 @@ def doc_stats_sql(table: str = "documents", text_col: str = "text",
             f"SELECT doc_id, doclen::INT AS doclen, "
             f"(SELECT (count(*) - 1)::INT FROM fnt WHERE val <= doclen) "
             f"AS fieldnorm_id FROM dlq")
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles: the approximations themselves are deterministic, so the
+# full LSH / IVF pipelines are expressible in plain SQL and hash-checked
+# (not just recall-bounded). Mirrors ops/similarity.py exactly.
+
+_KNN_RERANK = """
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) * q.qn),
+             6) AS cosine
+FROM embeddings e
+JOIN cand USING (vec_id),
+     (SELECT embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id = 0) q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}"""
+
+
+def _unn_cte(dim: int) -> str:
+    """(vec_id, j, v): embeddings unnested with component index."""
+    return (f"unn AS (\n  SELECT vec_id, j, embedding[j+1]::DOUBLE AS v\n"
+            f"  FROM embeddings, range({dim}) r(j)\n)")
+
+
+def lsh_knn_sql(dim: int = 64, nbits: int = 6, k: int = 10,
+                seed: str = "lsh") -> str:
+    """Random-hyperplane LSH kNN: md5-seeded hyperplanes -> sign
+    signature -> hamming<=1 probe -> exact cosine rerank. Same math as
+    ops/similarity.lsh_knn (sign margins ~1e-4 >> f64 sum-order noise)."""
+    return f"""
+WITH planes AS (
+  SELECT i, j,
+         ((('0x' || substr(md5('{seed}|' || i::VARCHAR || '|'
+                               || j::VARCHAR), 1, 8))::BIGINT
+           / 4294967295.0) * 2.0 - 1.0) AS w
+  FROM range({nbits}) p(i), range({dim}) d(j)
+),
+{_unn_cte(dim)},
+dots AS (
+  SELECT u.vec_id, p.i, sum(u.v * p.w) AS dot
+  FROM unn u JOIN planes p USING (j)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sig s, qb
+  WHERE bit_count(xor(s.bucket, qb.qbucket)) <= 1
+)
+{_KNN_RERANK.format(k=k)}"""
+
+
+def ivf_knn_sql(dim: int = 64, ncells: int = 8, nprobe: int = 3,
+                iters: int = 5, k: int = 10,
+                sample_cap: int = 2048) -> str:
+    """IVF kNN with the kmeans-lite training unrolled: init = sample rows
+    at ranks (i*n)//ncells, cosine-argmax assignment (ties -> lowest
+    cell), centroid mean rounded half-away to 6 decimals per iteration
+    (kills cross-engine summation-order drift), empty cells keep their
+    centroid. Mirrors ops/similarity.train_ivf_centroids / ivf_knn."""
+    its = []
+    for t in range(iters):
+        its.append(f"""
+cn{t} AS (SELECT cell, sqrt(sum(w*w)) AS nc FROM cents{t} GROUP BY cell),
+sim{t} AS (
+  SELECT u.vec_id, c.cell, sum(u.v * c.w) AS dot
+  FROM unn u JOIN samp s USING (vec_id) JOIN cents{t} c USING (j)
+  GROUP BY 1, 2
+),
+asg{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT m.vec_id, m.cell,
+           row_number() OVER (PARTITION BY m.vec_id
+             ORDER BY m.dot / (v.nv * c.nc) DESC, m.cell ASC) AS rn
+    FROM sim{t} m JOIN vnorm v USING (vec_id) JOIN cn{t} c USING (cell)
+  ) WHERE rn = 1
+),
+upd{t} AS (
+  SELECT a.cell, u.j, round(avg(u.v), 6) AS w
+  FROM asg{t} a JOIN unn u USING (vec_id)
+  GROUP BY 1, 2
+),
+cents{t + 1} AS (
+  SELECT c.cell, c.j, coalesce(up.w, c.w) AS w
+  FROM cents{t} c LEFT JOIN upd{t} up ON up.cell = c.cell AND up.j = c.j
+)""")
+    n = iters
+    return f"""
+WITH {_unn_cte(dim)},
+vnorm AS (SELECT vec_id, sqrt(sum(v*v)) AS nv FROM unn GROUP BY vec_id),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+  FROM embeddings
+),
+samp AS (SELECT vec_id FROM ranked WHERE rnk < {sample_cap}),
+ns AS (SELECT count(*)::BIGINT AS n FROM samp),
+cents0 AS (
+  SELECT ci.i AS cell, u.j, u.v AS w
+  FROM range({ncells}) ci(i)
+  CROSS JOIN ns
+  JOIN ranked r ON r.rnk = (ci.i * ns.n) // {ncells}
+  JOIN unn u ON u.vec_id = r.vec_id
+),{",".join(its)},
+fin_cn AS (SELECT cell, sqrt(sum(w*w)) AS nc FROM cents{n} GROUP BY cell),
+fin_sim AS (
+  SELECT u.vec_id, c.cell, sum(u.v * c.w) AS dot
+  FROM unn u JOIN cents{n} c USING (j)
+  GROUP BY 1, 2
+),
+fin_asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT m.vec_id, m.cell,
+           row_number() OVER (PARTITION BY m.vec_id
+             ORDER BY m.dot / (v.nv * c.nc) DESC, m.cell ASC) AS rn
+    FROM fin_sim m JOIN vnorm v USING (vec_id)
+    JOIN fin_cn c USING (cell)
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cell FROM (
+    SELECT m.cell,
+           row_number() OVER (
+             ORDER BY m.dot / (v.nv * c.nc) DESC, m.cell ASC) AS rn
+    FROM fin_sim m JOIN vnorm v USING (vec_id)
+    JOIN fin_cn c USING (cell)
+    WHERE m.vec_id = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT vec_id FROM fin_asg WHERE cell IN (SELECT cell FROM probes)
+)
+{_KNN_RERANK.format(k=k)}"""
