@@ -171,9 +171,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.12))
     out["dedup_simhash"] = (
         lambda s, d: dedup.simhash(_docs(s, d), bits=16))
+    # LSH-banded scale path (no cartesian); 16 bands x 2 bits so a
+    # moderate-cosine pair still collides — the oracle replicates the
+    # banding, so the check is exact either way
     out["dedup_embedding"] = (
-        lambda s, d: dedup.embedding_near_dup_pairs(_emb(s, d),
-                                                    threshold=0.5))
+        lambda s, d: dedup.embedding_near_dup_pairs(
+            _emb(s, d), threshold=0.5, bands=16, band_bits=2))
+    out["dedup_minhash_lsh"] = (
+        lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.8))
+    out["dedup_simhash_pairs"] = (
+        lambda s, d: dedup.simhash_near_dup_pairs(
+            _docs(s, d), bits=60, bands=4, max_hamming=3))
 
     # --- similarity search over embeddings ---
     out["knn_scores_all"] = (
@@ -285,6 +293,44 @@ sh AS (
     out["dedup_minhash_sigs"] = (
         f"WITH {shingles} SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id")
 
+    # MinHash+LSH near-dup: bands of 4 minhashes -> candidate pairs ->
+    # exact shingle Jaccard on candidates only (mirrors
+    # ops/dedup.minhash_lsh_pairs: 16 hashes, 4 bands, threshold 0.8)
+    mh16_cols = ", ".join(
+        "min({expr}) AS mh_{i}".format(
+            expr=h("'{i}|' || shingle".format(i=i)), i=i)
+        for i in range(16))
+    band_case = " ".join(
+        f"WHEN {b} THEN [mh_{4 * b}, mh_{4 * b + 1}, "
+        f"mh_{4 * b + 2}, mh_{4 * b + 3}]" for b in range(4))
+    out["dedup_minhash_lsh"] = f"""
+WITH {shingles},
+mh AS (SELECT doc_id, {mh16_cols} FROM sh GROUP BY doc_id),
+bv AS (
+  SELECT doc_id, b, CASE b {band_case} END AS val
+  FROM mh, range(4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bv a JOIN bv b ON a.b = b.b AND a.val = b.val
+                     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= 0.8"""
+
     out["dedup_ngram_jaccard"] = f"""
 WITH {shingles},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -307,27 +353,36 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12"""
     sim_expr = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
         for b in range(bits))
-    out["dedup_simhash"] = f"""
-WITH tk AS (
+    def simhash_ctes(nb: int) -> str:
+        sc = ", ".join(
+            f"sum(CASE WHEN ({h('tok')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) "
+            f"AS s{b}" for b in range(nb))
+        se = " + ".join(
+            f"(CASE WHEN s{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+            for b in range(nb))
+        return f"""tk AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
 ),
-sums AS (SELECT doc_id, {s_cols} FROM tk GROUP BY doc_id)
-SELECT doc_id, {sim_expr} AS simhash FROM sums"""
+sums AS (SELECT doc_id, {sc} FROM tk GROUP BY doc_id),
+simt AS (SELECT doc_id, {se} AS simhash FROM sums)"""
 
-    out["dedup_embedding"] = """
-SELECT * FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.embedding::DOUBLE[],
-                                b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[],
-                                        a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[],
-                                          b.embedding::DOUBLE[]))),
-               6) AS cosine
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
-) WHERE cosine >= 0.5"""
+    out["dedup_simhash"] = (
+        f"WITH {simhash_ctes(16)} SELECT doc_id, simhash FROM simt")
+
+    # 60-bit simhash pairs: hamming<=3 with 4 bands is EXACT (pigeonhole:
+    # 3 differing bits cannot touch 4 disjoint ranges), so brute-force
+    # hamming IS the oracle for the banded Spark op
+    out["dedup_simhash_pairs"] = f"""
+WITH {simhash_ctes(60)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simt a JOIN simt b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    from cuely_spark.oracle_sql import embedding_near_dup_lsh_sql
+    out["dedup_embedding"] = embedding_near_dup_lsh_sql(
+        dim=64, bands=16, band_bits=2, threshold=0.5)
 
     knn_base = """
 SELECT e.vec_id AS vec_id,

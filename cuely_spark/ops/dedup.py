@@ -187,26 +187,107 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return sums.select("doc_id", sim.alias("simhash"))
 
 
+def _banded(df: DataFrame, id_out: str, sig_col: str, bands: int,
+            band_bits: int) -> DataFrame:
+    """Explode an integer signature into (id, (band, band_value)) rows —
+    the LSH bucketing key. JVM-side bit ops only."""
+    mask = (1 << band_bits) - 1
+    return df.select(
+        F.col(df.columns[0]).alias(id_out),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col(sig_col), b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(bands)])).alias("bk"))
+
+
+def _band_pairs(bandvals: DataFrame, id_out_a: str,
+                id_out_b: str) -> DataFrame:
+    """Distinct id pairs sharing >= 1 (band, value) bucket. The shuffle
+    key is the bucket, never the cross product — the 100-TB path."""
+    a = bandvals.alias("a")
+    b = bandvals.alias("b")
+    ia, ib = bandvals.columns[0], bandvals.columns[0]
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col(f"a.{ia}") < F.col(f"b.{ib}")))
+            .select(F.col(f"a.{ia}").alias(id_out_a),
+                    F.col(f"b.{ib}").alias(id_out_b))
+            .distinct())
+
+
+def _cosine_expr(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    norm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)))
+    return dot / (norm(va) * norm(vb))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             threshold: float = 0.95) -> DataFrame:
-    """Near-dup pairs by cosine similarity (brute force, JVM-side
-    zip_with/aggregate — the exactness baseline; LSH variant in
-    ops.similarity scales it)."""
+                             threshold: float = 0.95, bands: int = 4,
+                             band_bits: int = 8,
+                             seed: str = "emb-dedup") -> DataFrame:
+    """Near-dup pairs by cosine similarity, LSH-banded (the scale path):
+    random-hyperplane signature of bands*band_bits bits, candidates =
+    pairs sharing >= 1 band bucket, exact cosine rerank on candidates
+    only. Approximate (a pair colliding in no band is missed); the
+    brute-force oracle is embedding_near_dup_pairs_exact."""
+    from .similarity import lsh_signatures
+
+    sig = lsh_signatures(emb, bands * band_bits, vec_col, id_col, seed)
+    cand = _band_pairs(_banded(sig, "vid", "bucket", bands, band_bits),
+                       "id_a", "id_b")
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(_cosine_expr(F.col("va"), F.col("vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_near_dup_pairs_exact(emb: DataFrame,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   threshold: float = 0.95) -> DataFrame:
+    """Brute-force cosine near-dup pairs — O(N^2) cartesian; the test
+    oracle for the LSH path, never the scale path."""
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    norm = (lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x),
-        F.lit(0.0).cast("double"), lambda acc, v: acc + v)))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+                F.round(_cosine_expr(F.col("va"), F.col("vb")), 6)
                 .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 16,
+                           bands: int = 4,
+                           max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with simhash hamming distance <=
+    max_hamming, via banded self-join. EXACT when max_hamming < bands:
+    <= max_hamming differing bits cannot touch every one of `bands`
+    disjoint bit ranges (pigeonhole), so every qualifying pair shares a
+    band bucket (the standard hamming-LSH argument; reference sketch:
+    crates/core/src/simhash.rs hamming-based dedup)."""
+    assert bits % bands == 0 and max_hamming < bands
+    sh = simhash(docs, text_col, id_col, bits)
+    cand = _band_pairs(_banded(sh, "did", "simhash", bands, bits // bands),
+                       "doc_a", "doc_b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

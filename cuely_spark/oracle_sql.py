@@ -402,3 +402,55 @@ cand AS (
   SELECT vec_id FROM fin_asg WHERE cell IN (SELECT cell FROM probes)
 )
 {_KNN_RERANK.format(k=k)}"""
+
+
+def embedding_near_dup_lsh_sql(dim: int = 64, bands: int = 16,
+                               band_bits: int = 2, threshold: float = 0.5,
+                               seed: str = "emb-dedup") -> str:
+    """LSH-banded embedding near-dup: same hyperplane signature,
+    band-bucket candidate join, exact cosine rerank as
+    ops/dedup.embedding_near_dup_pairs."""
+    nbits = bands * band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH planes AS (
+  SELECT i, j,
+         ((('0x' || substr(md5('{seed}|' || i::VARCHAR || '|'
+                               || j::VARCHAR), 1, 8))::BIGINT
+           / 4294967295.0) * 2.0 - 1.0) AS w
+  FROM range({nbits}) p(i), range({dim}) d(j)
+),
+{_unn_cte(dim)},
+dots AS (
+  SELECT u.vec_id, p.i, sum(u.v * p.w) AS dot
+  FROM unn u JOIN planes p USING (j)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+bv AS (
+  SELECT vec_id, b, (bucket >> (b * {band_bits})) & {mask} AS val
+  FROM sig, range({bands}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bv a JOIN bv b ON a.b = b.b AND a.val = b.val
+                     AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(ea.embedding::DOUBLE[],
+                                eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                        ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+) WHERE cosine >= {threshold}"""

@@ -164,3 +164,63 @@ def test_fingerprint_stable_under_distant_edit(spark):
     # doc 1 changed only the tail; the minimal 5-gram may survive
     assert fp[0] != fp[2]
     assert isinstance(fp[0], int)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups: tiny perturbations of vectors 0 and 3
+    for j, src in enumerate((0, 3)):
+        pert = base[src] + rng.normal(scale=0.01, size=16)
+        rows.append((100 + j, [float(x) for x in pert]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_lsh_subset_of_exact_and_no_cartesian(
+        spark, emb_df):
+    """LSH-banded pairs are a subset of the brute-force pairs with
+    identical cosines, find the planted near-dups, and the plan has no
+    CartesianProduct (the 100-TB criterion)."""
+    from cuely_spark.ops.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    lsh = embedding_near_dup_pairs(emb_df, threshold=0.9,
+                                   bands=8, band_bits=4)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh.collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs_exact(
+                 emb_df, threshold=0.9).collect()}
+    assert set(got) <= set(exact)
+    for k_, v in got.items():
+        assert v == exact[k_]
+    # planted perturbation pairs must be recalled at these settings
+    assert (0, 100) in got and (3, 101) in got
+
+
+def test_simhash_near_dup_pairs_exact_vs_bruteforce(spark, docs_df):
+    """Banded simhash pairs == brute-force hamming<=h pairs (pigeonhole
+    exactness when max_hamming < bands)."""
+    from cuely_spark.ops.dedup import simhash, simhash_near_dup_pairs
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(
+               docs_df, bits=60, bands=4, max_hamming=3).collect()}
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs_df, bits=60).collect()}
+    ids = sorted(sims)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin(sims[a] ^ sims[b]).count("1")
+            if hd <= 3:
+                exp[(a, b)] = hd
+    assert got == exp
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dup -> hamming 0
