@@ -63,6 +63,56 @@ def _reader(spark: SparkSession, sf_dir: str):
     return IndexReader(spark, _ensure_index(spark, sf_dir))
 
 
+def _ensure_live_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (and cache) an index through the streaming micro-batch path:
+    four simulated foreachBatch calls over doc_id ranges. doc_id is dense
+    and batches arrive in id order, so live arrival-dense ids equal the
+    original doc_id — making the live index directly comparable to the
+    same DuckDB BM25 oracle as the bulk index."""
+    import math
+
+    from cuely_spark.streaming import LiveIndexWriter
+
+    key = hashlib.md5(
+        f"live-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        nb = 4
+        per = math.ceil(n / nb)
+        w = LiveIndexWriter(spark, out, text_col="text",
+                            order_cols=("doc_id",))
+        for b in range(nb):
+            batch = docs.filter((F.col("doc_id") >= b * per)
+                                & (F.col("doc_id") < (b + 1) * per))
+            w.process_batch(batch, b)
+    return out
+
+
+def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build a deliberately over-segmented index (5 segments), then merge
+    to 1 with a low hot_df_threshold so BOTH merge paths run (hot salted
+    block renumbering for common terms, cold re-block for rare ones).
+    Searches over it must be hash-identical to the unmerged oracle."""
+    from cuely_spark.indexer import build_index
+    from cuely_spark.indexer.merge import merge_segments
+
+    key = hashlib.md5(
+        f"merge-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    src = os.path.join(_INDEX_ROOT, key + "-src")
+    dst = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(dst, "stats.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+        build_index(spark, docs, src, text_col="text",
+                    doc_id_col="doc_id", rows_per_segment=125,
+                    num_jobs=1)
+        merge_segments(spark, src, dst, target_segments=1,
+                       hot_df_threshold=50)
+    return dst
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -163,6 +213,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _reader(spark, sf_dir).top_key_phrases(k=15)
     out["ft_top_key_phrases"] = ft_top_key_phrases
 
+    def ft_live_search(spark, sf_dir):
+        """Search an index built through the streaming micro-batch path
+        (executor-side segment builds) — same oracle as the bulk index."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_live_index(spark, sf_dir))
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_live_search"] = ft_live_search
+
+    def ft_merged_search(spark, sf_dir):
+        """Search a 5-segment index after k-way merge to 1 segment with
+        both hot (salted) and cold (re-block) paths forced; phrase terms
+        verify merged position streams. Same oracle as unmerged."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_merged_index(spark, sf_dir))
+        res = r.search('"scan merge" table', k=r.num_docs,
+                       dtype=np.float64)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_merged_search"] = ft_merged_search
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -260,6 +338,8 @@ def oracle_sql() -> dict[str, str]:
     out["ft_doc_stats"] = doc_stats_sql()
     out["ft_get_doc"] = ("SELECT doc_id, text, lang, source, n_chars "
                          "FROM documents WHERE doc_id = 42")
+    out["ft_live_search"] = bm25_search_sql("merge table", k=None)
+    out["ft_merged_search"] = bm25_search_sql('"scan merge" table', k=None)
     from cuely_spark.oracle_sql import base_ctes
     out["ft_top_key_phrases"] = f"""
 WITH {base_ctes()},

@@ -143,6 +143,48 @@ def segment_offsets(turns_path: str) -> dict[int, int]:
     return offsets, acc
 
 
+def segment_kernel(id_col: str, text_col: str,
+                   attr_cols: tuple[str, ...] = (),
+                   offsets: dict[int, int] | None = None,
+                   store_positions: bool = True):
+    """mapInPandas kernel building complete index segments from turns
+    rows — shared by the bulk builder (stage B) and the live-index
+    micro-batch path. Groups by the segment_id column so Spark's file
+    packing can never mix segments; when `offsets` is given, doc ids are
+    offsets[segment] + row's id_col (stage-A __ord contract)."""
+    keep_cols = [id_col, text_col, *attr_cols]
+
+    def kernel(batches):
+        import pandas as pd
+
+        bufs: dict[int, list] = {}
+        for pdf in batches:
+            for seg, grp in pdf.groupby("segment_id"):
+                bufs.setdefault(int(seg), []).append(grp[keep_cols])
+        for seg, parts in bufs.items():
+            allp = pd.concat(parts, ignore_index=True)
+            ids = allp[id_col].to_numpy()
+            if offsets is not None:
+                ids = ids + offsets[seg]
+            attrs = None
+            if attr_cols:
+                cols = [allp[c].tolist() for c in attr_cols]
+                attrs = [
+                    [f"{name}:{str(v).lower()}"
+                     for name, v in zip(attr_cols, row_vals)
+                     if v is not None and str(v) != ""]
+                    for row_vals in zip(*cols)
+                ]
+            yield build_segment_rows(
+                ids,
+                allp[text_col].tolist(),
+                segment_id=seg,
+                store_positions=store_positions,
+                attr_tokens=attrs,
+            )
+    return kernel
+
+
 def _job_groups(segments: list[int], num_jobs: int) -> list[list[int]]:
     num_jobs = max(1, min(num_jobs, len(segments)))
     size = math.ceil(len(segments) / num_jobs)
@@ -240,36 +282,8 @@ def build_index(
 
     id_col = "doc_id" if offsets is None else "__ord"
     attr_cols = tuple(attr_cols)
-    keep_cols = [id_col, text_col, *attr_cols]
-
-    def seg_kernel(batches):
-        import pandas as pd
-
-        bufs: dict[int, list] = {}
-        for pdf in batches:
-            for seg, grp in pdf.groupby("segment_id"):
-                bufs.setdefault(int(seg), []).append(grp[keep_cols])
-        for seg, parts in bufs.items():
-            allp = pd.concat(parts, ignore_index=True)
-            ids = allp[id_col].to_numpy()
-            if offsets is not None:
-                ids = ids + offsets[seg]
-            attrs = None
-            if attr_cols:
-                cols = [allp[c].tolist() for c in attr_cols]
-                attrs = [
-                    [f"{name}:{str(v).lower()}"
-                     for name, v in zip(attr_cols, row_vals)
-                     if v is not None and str(v) != ""]
-                    for row_vals in zip(*cols)
-                ]
-            yield build_segment_rows(
-                ids,
-                allp[text_col].tolist(),
-                segment_id=seg,
-                store_positions=store_positions,
-                attr_tokens=attrs,
-            )
+    seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
+                                store_positions)
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")

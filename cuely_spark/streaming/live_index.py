@@ -21,14 +21,20 @@ Semantics:
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..indexer.build import IndexPaths
-from ..indexer.segment import INDEX_ROW_SCHEMA, build_segment_rows
+from ..indexer.build import IndexPaths, segment_kernel, segment_offsets
+from ..indexer.segment import INDEX_ROW_SCHEMA
+
+# live segments are namespaced far above bulk segment ids; each batch
+# owns a contiguous block of MAX_SEGMENTS_PER_BATCH ids
+LIVE_SEG_BASE = 100_000
+MAX_SEGMENTS_PER_BATCH = 1_000
 
 
 def refresh_stats(spark: SparkSession, root: str) -> dict:
@@ -65,11 +71,13 @@ def refresh_stats(spark: SparkSession, root: str) -> dict:
 class LiveIndexWriter:
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text",
-                 order_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
+                 order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                 rows_per_segment: int = 100_000):
         self.spark = spark
         self.paths = IndexPaths(root)
         self.text_col = text_col
         self.order_cols = list(order_cols)
+        self.rows_per_segment = rows_per_segment
         os.makedirs(self.paths.manifest_dir, exist_ok=True)
         self._state_path = os.path.join(self.paths.manifest_dir,
                                         "live_state.json")
@@ -81,42 +89,130 @@ class LiveIndexWriter:
 
     # -- foreachBatch sink -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fully executor-side micro-segment build. The batch DataFrame
+        never materializes on the driver: stage-A-style id assignment
+        (range partition + sort + per-partition ordinal) writes the row
+        store, then the shared stage-B mapInPandas kernel builds posting
+        rows from the written turns. Only id-range bookkeeping (counts,
+        offsets from parquet footers) touches the driver, so ingest
+        scales with executors, not driver memory."""
         bkey = str(batch_id)
         prev = self.state["batches"].get(bkey)
         if prev is not None:
             base = prev["base"]          # replay: reuse the id range
         else:
             base = self.state["next_doc_id"]
-        pdf = (batch_df.orderBy(*self.order_cols)
-               .select(*self.order_cols, self.text_col).toPandas())
-        n = len(pdf)
+        n = batch_df.count()
         if n == 0:
             return
-        import numpy as np
+        nseg = max(1, min(math.ceil(n / self.rows_per_segment),
+                          MAX_SEGMENTS_PER_BATCH))
+        seg_base = LIVE_SEG_BASE + batch_id * MAX_SEGMENTS_PER_BATCH
 
-        seg_id = 100_000 + batch_id  # live segments namespaced high
-        rows = build_segment_rows(
-            base + np.arange(n, dtype=np.int64),
-            pdf[self.text_col].tolist(), segment_id=seg_id)
-        out = self.spark.createDataFrame(rows, schema=INDEX_ROW_SCHEMA)
+        # 1) stage-A analog: sort, tag per-partition ordinals, stage
+        staging = os.path.join(self.paths.root, "live_staging",
+                               f"batch={batch_id}")
+        part = (
+            batch_df
+            .repartitionByRange(nseg, *[F.col(c) for c in self.order_cols])
+            .sortWithinPartitions(*self.order_cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__ord", F.col("__mid")
+                        - (F.col("__pid").cast("long") * (1 << 33)))
+            .withColumn("segment_id",
+                        (F.col("__pid") + F.lit(seg_base)).cast("int"))
+            .drop("__mid", "__pid")
+        )
+        part.write.mode("overwrite").partitionBy("segment_id") \
+            .parquet(staging)
+        offs, n_written = segment_offsets(staging)
+
+        # 2) dense ids from written footers; finalize the row store
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (out.write.mode("overwrite").partitionBy("kind", "segment_id")
-         .parquet(self.paths.index))
-        # row store for retrieval
-        pdf = pdf.copy()
-        pdf["doc_id"] = base + np.arange(n, dtype=np.int64)
-        pdf["segment_id"] = seg_id
-        (self.spark.createDataFrame(pdf)
-         .write.mode("overwrite").partitionBy("segment_id")
-         .parquet(self.paths.turns))
-        self.state["batches"][bkey] = {"base": base, "n": n,
-                                       "segment_id": seg_id}
+        off_map = F.create_map(*[
+            F.lit(x) for s, o in sorted(offs.items())
+            for x in (s, base + o)])  # <= MAX_SEGMENTS_PER_BATCH entries
+        staged = self.spark.read.option("basePath", staging) \
+            .parquet(staging)
+        turns = (staged
+                 .withColumn("doc_id", (off_map[F.col("segment_id")]
+                                        + F.col("__ord")).cast("long"))
+                 .drop("__ord"))
+        turns.write.mode("overwrite").partitionBy("segment_id") \
+            .parquet(self.paths.turns)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # 3) stage-B analog: posting build on executors
+        segs = sorted(offs)
+        src = (self.spark.read.option("basePath", self.paths.turns)
+               .parquet(*[os.path.join(self.paths.turns,
+                                       f"segment_id={s}") for s in segs])
+               .select("doc_id", self.text_col, "segment_id"))
+        rows = src.mapInPandas(segment_kernel("doc_id", self.text_col),
+                               schema=INDEX_ROW_SCHEMA)
+        (rows.write.mode("overwrite")
+             .option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("kind", "segment_id")
+             .parquet(self.paths.index))
+
+        is_replay = prev is not None
+        self.state["batches"][bkey] = {"base": base, "n": int(n_written),
+                                       "segments": segs}
         self.state["next_doc_id"] = max(self.state["next_doc_id"],
-                                        base + n)
+                                        base + int(n_written))
         with open(self._state_path, "w") as f:
             json.dump(self.state, f, indent=1)
-        refresh_stats(self.spark, self.paths.root)
+        if is_replay:
+            # incremental stats would double-count a replayed batch
+            refresh_stats(self.spark, self.paths.root)
+        else:
+            self._incremental_stats(segs)
+
+    def _incremental_stats(self, batch_segs: list[int]) -> None:
+        """Fold one batch's term/global stats into the index-level stats
+        without rescanning every segment (refresh_stats is O(index); this
+        is O(vocabulary + batch))."""
+        spark = self.spark
+        paths = self.paths
+        new_t = spark.read.option("basePath", paths.index).parquet(
+            *[os.path.join(paths.index, "kind=t", f"segment_id={s}")
+              for s in batch_segs]).select("term", "df", "ttf")
+        if os.path.exists(paths.term_stats):
+            # materialize the old stats before overwriting their path
+            old = (spark.read.parquet(paths.term_stats)
+                   .select("term", "df", "ttf").localCheckpoint())
+            new_t = old.unionByName(new_t)
+        nparts = max(1, min(32, new_t.rdd.getNumPartitions()))
+        (new_t.groupBy("term")
+         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+         .repartitionByRange(nparts, "term").sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(paths.term_stats))
+        g = spark.read.option("basePath", paths.index).parquet(
+            *[os.path.join(paths.index, "kind=g", f"segment_id={s}")
+              for s in batch_segs])
+        agg = g.agg(F.sum("num_docs").alias("nd"),
+                    F.sum("total_tokens").alias("tt"),
+                    F.sum("posting_bytes").alias("pb"),
+                    F.count("*").alias("nseg")).collect()[0]
+        if os.path.exists(paths.stats):
+            with open(paths.stats) as f:
+                stats = json.load(f)
+        else:
+            stats = {"num_docs": 0, "total_tokens": 0, "posting_bytes": 0,
+                     "num_segments": 0}
+        stats["num_docs"] += int(agg["nd"])
+        stats["total_tokens"] += int(agg["tt"])
+        stats["posting_bytes"] = (stats.get("posting_bytes", 0)
+                                  + int(agg["pb"]))
+        stats["num_segments"] += int(agg["nseg"])
+        stats["avg_fieldnorm"] = (float(stats["total_tokens"])
+                                  / float(stats["num_docs"]))
+        stats["store_positions"] = True
+        stats["live"] = True
+        with open(paths.stats, "w") as f:
+            json.dump(stats, f, indent=1)
 
     def sink(self):
         """Use as .writeStream.foreachBatch(writer.sink())."""
@@ -129,15 +225,16 @@ class LiveIndexWriter:
         dropped = 0
         for bkey in list(self.state["batches"]):
             if int(bkey) < min_batch_id:
-                seg = self.state["batches"][bkey]["segment_id"]
-                for kind in "ptdg":
+                for seg in self.state["batches"][bkey]["segments"]:
+                    for kind in "ptdg":
+                        shutil.rmtree(
+                            os.path.join(self.paths.index, f"kind={kind}",
+                                         f"segment_id={seg}"),
+                            ignore_errors=True)
                     shutil.rmtree(
-                        os.path.join(self.paths.index, f"kind={kind}",
+                        os.path.join(self.paths.turns,
                                      f"segment_id={seg}"),
                         ignore_errors=True)
-                shutil.rmtree(
-                    os.path.join(self.paths.turns, f"segment_id={seg}"),
-                    ignore_errors=True)
                 del self.state["batches"][bkey]
                 dropped += 1
         with open(self._state_path, "w") as f:
