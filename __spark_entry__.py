@@ -186,6 +186,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _ft_search(q, k)
     out["ft_or_topk"] = _ft_search("merge window dup", 25, occur="should")
 
+    def ft_mixed_occur(spark, sf_dir):
+        """Occur composition: Must 'merge' gates membership; Should
+        clauses (a term + a phrase) add score where they match."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        res = r.search("merge", k=r.num_docs, dtype=np.float64,
+                       should='table "batch batch"')
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_mixed_occur"] = ft_mixed_occur
+
+    def ft_topk_offset(spark, sf_dir):
+        """Pagination: page 2 of 10 (offset=10, k=10)."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        res = r.search("key order sort", k=10, dtype=np.float64,
+                       offset=10)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_topk_offset"] = ft_topk_offset
+
     BATCH = {"b_and": "merge table", "b_phrase": '"batch batch"',
              "b_not": "merge -window"}
 
@@ -326,6 +349,10 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_search_sql(q, k=k)
     out["ft_or_topk"] = bm25_search_sql("merge window dup", k=25,
                                         occur="should")
+    out["ft_mixed_occur"] = bm25_search_sql(
+        "merge", k=None, should='table "batch batch"')
+    out["ft_topk_offset"] = bm25_search_sql("key order sort", k=10,
+                                            offset=10)
     out["ft_batch_queries"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None) + ")"

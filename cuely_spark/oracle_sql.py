@@ -84,14 +84,21 @@ def _filter_cond(token: str, table: str, id_col: str,
 
 def bm25_search_sql(query: str, k: int | None = 20,
                     table: str = "documents", text_col: str = "text",
-                    id_col: str = "doc_id", occur: str = "must") -> str:
+                    id_col: str = "doc_id", occur: str = "must",
+                    should: str | None = None, offset: int = 0) -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
     k=None returns ALL matching docs (no LIMIT).
-    occur="should" scores the disjunction (term clauses only)."""
+    occur="should" scores the disjunction (term clauses only).
+    should: extra Should clauses — LEFT JOIN + COALESCE score terms on
+    the Must candidate set (never gate membership).
+    offset: SQL OFFSET (pagination)."""
     if occur == "should":
+        assert should is None and offset == 0
         return _bm25_should_sql(query, k, table, text_col, id_col)
     pq: ParsedQuery = parse_query(query)
-    all_terms = sorted(set(pq.all_terms()))
+    spq = parse_query(should) if should is not None else None
+    s_terms = spq.all_terms() if spq is not None else []
+    all_terms = sorted(set(pq.all_terms()) | set(s_terms))
     terms_in = ", ".join(_q(t) for t in all_terms)
 
     ctes = [base_ctes(table, text_col, id_col)]
@@ -124,6 +131,27 @@ dfs AS (
             joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
             idf_sum = " + ".join(_idf(t) for t in c.tokens)
             score_terms.append(f"({idf_sum}) * {_tf_factor(f'{a}.tf')}")
+    if spq is not None:
+        for ci, c in enumerate(spq.positive):
+            if c.kind == "filter":
+                continue  # unscored should collapses into must: no-op
+            a = f"s{ci}"
+            if c.kind == "term":
+                joins.append(
+                    f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
+                    f"AND {a}.term = {_q(c.tokens[0])}")
+                score_terms.append(
+                    f"COALESCE({_idf(c.tokens[0])} * "
+                    f"{_tf_factor(f'{a}.tf')}, 0.0)")
+            else:
+                name = f"sph{ci}"
+                ctes.append(_phrase_cte(name, c.tokens))
+                joins.append(f"LEFT JOIN {name} {a} "
+                             f"ON {a}.doc_id = cand.doc_id")
+                idf_sum = " + ".join(_idf(t) for t in c.tokens)
+                score_terms.append(
+                    f"COALESCE(({idf_sum}) * {_tf_factor(f'{a}.tf')}, "
+                    f"0.0)")
     if not score_terms:
         score_terms = ["0.0"]  # filter-only query
 
@@ -159,6 +187,8 @@ FROM cand {' '.join(joins)}
 ORDER BY score DESC, doc_id ASC"""
     if k is not None:
         sql += f"\nLIMIT {k}"
+    if offset:
+        sql += f"\nOFFSET {offset}"
     return sql
 
 

@@ -160,20 +160,39 @@ class IndexReader:
     # ------------------------------------------------------------------
     def search(self, query: str | ParsedQuery, k: int = TOP_K_DEFAULT,
                dtype=np.float32, with_meta: bool = False,
-               occur: str = "must", max_docs_per_segment: int | None = None):
+               occur: str = "must", max_docs_per_segment: int | None = None,
+               offset: int = 0, should: str | ParsedQuery | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
         (the reference's default, query/plan/mod.rs:299).
         occur="should": scored disjunction via multi-scorer block-max
         WAND (term clauses only).
+        should: extra Should clauses on top of the Must query — they add
+        BM25 score on docs already matching `query` but never gate
+        membership (Occur composition, boolean_weight.rs:107-184; an
+        unscored should collapses into must, so count() ignores them).
+        offset: skip the first `offset` ranked hits (pagination —
+        reference: skip(offset).take(top_n), collector/top_docs.rs:450-453
+        with offset = page * num_results, query/mod.rs:147).
         max_docs_per_segment: ShortCircuit cap — consider only the first
         N candidate docs per segment in doc order (reference default
         250_000, config/defaults.rs:38-40)."""
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
-        dfs = self.term_dfs(pq.all_terms())
+        spq = None
+        if should is not None:
+            if occur == "should":
+                raise ValueError(
+                    "mixed occur uses occur='must' + should=...")
+            spq = (parse_query(should) if isinstance(should, str)
+                   else should)
+            if spq.negative:
+                raise ValueError(
+                    "negations belong in the must query, not in should")
+        s_terms = spq.all_terms() if spq is not None else []
+        dfs = self.term_dfs(list(dict.fromkeys(pq.all_terms() + s_terms)))
         if occur == "should":
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
@@ -186,9 +205,14 @@ class IndexReader:
             if any(dfs[t] == 0 for toks in required for t in toks):
                 return self._empty_result()
         weights = self._weights(pq, dfs, dtype)
-        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        if spq is not None:
+            weights.update(self._weights(spq, dfs, dtype))
+        has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
+            spq is not None
+            and any(c.kind == "phrase" for c in spq.positive))
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        terms = pq.all_terms()
+        terms = list(dict.fromkeys(pq.all_terms() + s_terms))
+        seg_k = k + offset  # each segment must surface the skipped page
 
         postings = (
             self.spark.read.parquet(self._postings_path)
@@ -204,12 +228,15 @@ class IndexReader:
             specs, negs = _make_specs(pq, weights, by_term, dtype)
             if occur == "should":
                 term_specs = [(tp, w) for kind, tp, w in specs]
-                docs, scores = union_topk(term_specs, k, dtype=dtype,
+                docs, scores = union_topk(term_specs, seg_k, dtype=dtype,
                                           mustnot_groups=negs)
             else:
+                sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
+                          if spq is not None else None)
                 docs, scores = segment_topk(
-                    specs, negs, k, dtype=dtype,
-                    max_docs=max_docs_per_segment)
+                    specs, negs, seg_k, dtype=dtype,
+                    max_docs=max_docs_per_segment,
+                    should_specs=sspecs)
             return pd.DataFrame({
                 "doc_id": docs.astype("int64"),
                 "score": scores.astype("float64"),
@@ -250,7 +277,10 @@ class IndexReader:
 
             local = postings.groupBy("segment_id").applyInPandas(
                 run_segment, schema=out_schema)
-        top = (local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        top = local.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            top = top.offset(offset)
+        top = top.limit(k)
         if with_meta:
             segs = [r["segment_id"] for r in top.select("segment_id")
                     .distinct().collect()]

@@ -313,6 +313,7 @@ def segment_topk(
     k: int,
     dtype=np.float32,
     max_docs: int | None = None,
+    should_specs: list[tuple] | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -322,8 +323,14 @@ def segment_topk(
                   participate in the conjunction but contribute 0 score
                   (reference: site:/intitle: clauses are unscored
                   Must occurrences).
-    A missing term in this segment (TermPostings with 0 blocks) makes the
-    conjunction empty.
+    should_specs: optional Should clauses (same shapes): they do NOT gate
+        membership — the candidate set is the Must conjunction — but any
+        matching Should clause adds its BM25 contribution (reference
+        Occur composition: must gates, should scores,
+        crates/tantivy/src/query/boolean_query/boolean_weight.rs:107-184;
+        RequiredOptionalScorer semantics).
+    A missing Must term in this segment (TermPostings with 0 blocks)
+    makes the conjunction empty.
     Returns (doc_ids, scores) local top-k.
     """
     d = dtype
@@ -333,9 +340,10 @@ def segment_topk(
         if any(t.nblocks == 0 for t in tps):
             return empty
 
-    # fast path: single term clause, no negation -> block-max WAND
+    # fast path: single term clause, no negation/should -> block-max WAND
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
-            and not mustnot_groups and max_docs is None):
+            and not mustnot_groups and max_docs is None
+            and not should_specs):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
@@ -385,6 +393,40 @@ def segment_topk(
                 return empty
             _, fnids, _ = tp[0].lookup(cand)
             total = (total + w.score(fnids, tfs)).astype(d)
+
+    # Should clauses: add score where they match, never gate membership
+    for kind, tp, w in (should_specs or []):
+        if kind == "filter":
+            continue  # an unscored Should is a no-op (must∧should→must)
+        if kind == "term":
+            if tp.nblocks == 0:
+                continue
+            tfs, fnids, found = tp.lookup(cand)
+            contrib = np.zeros(cand.size, dtype=d)
+            if found.any():
+                contrib[found] = w.score(fnids[found], tfs[found])
+            total = (total + contrib).astype(d)
+        else:  # phrase
+            if any(t.nblocks == 0 for t in tp):
+                continue
+            sub = cand
+            for t in tp:
+                if sub.size == 0:
+                    break
+                _, _, fnd = t.lookup(sub)
+                sub = sub[fnd]
+            if sub.size == 0:
+                continue
+            tfs = phrase_tf(tp, sub)
+            good = tfs > 0
+            if not good.any():
+                continue
+            sub = sub[good]
+            _, fnids, _ = tp[0].lookup(sub)
+            pos = np.searchsorted(cand, sub)
+            contrib = np.zeros(cand.size, dtype=d)
+            contrib[pos] = w.score(fnids, tfs[good])
+            total = (total + contrib).astype(d)
 
     return _merge_topk(cand, total, k)
 

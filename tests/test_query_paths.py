@@ -33,3 +33,57 @@ def test_fanout_path_matches_single_task(reader, oracle_small, q):
     np.testing.assert_array_equal(s1, s2)
     od, _ = oracle_small.search(q, k=20)
     assert d1.tolist() == od.tolist()
+
+
+def test_mixed_must_should_kernel():
+    """segment_topk with should_specs: must gates membership, should adds
+    score only where it matches — checked against a brute-force model."""
+    import numpy as np
+
+    from cuely_spark.bm25 import Bm25Weight
+    from cuely_spark.queryengine.kernel import segment_topk
+    from test_kernel_oracle import _make_tp
+
+    rng = np.random.default_rng(5)
+    n_docs = 3000
+    def mk(df):
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)
+                       ).astype(np.int64)
+        return (docs, rng.integers(1, 9, size=df).astype(np.int64),
+                rng.integers(0, 200, size=df).astype(np.int64))
+    must = mk(800)
+    sh1, sh2 = mk(500), mk(30)
+    wm = Bm25Weight(must[0].size, n_docs, 12.0)
+    w1 = Bm25Weight(sh1[0].size, n_docs, 12.0)
+    w2 = Bm25Weight(sh2[0].size, n_docs, 12.0)
+    got_d, got_s = segment_topk(
+        [("term", _make_tp(*must), wm)], [], k=50,
+        should_specs=[("term", _make_tp(*sh1), w1),
+                      ("term", _make_tp(*sh2), w2)])
+    # brute force
+    f32 = np.float32
+    scores = {}
+    md, mt, mf = must
+    base = wm.score(mf, mt)
+    for d, s in zip(md.tolist(), base):
+        scores[d] = f32(s)
+    for (sd, st, sf), w in ((sh1, w1), (sh2, w2)):
+        per = w.score(sf, st)
+        for d, s in zip(sd.tolist(), per):
+            if d in scores:  # should never creates membership
+                scores[d] = f32(scores[d] + s)
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:50]
+    assert got_d.tolist() == [d for d, _ in exp]
+    np.testing.assert_array_equal(
+        got_s, np.array([s for _, s in exp], dtype=f32))
+
+
+def test_search_offset_pagination(reader):
+    """offset=o page equals rows [o:o+k] of the full ranking."""
+    import numpy as np
+
+    full = reader.search("the test", k=30, dtype=np.float64).collect()
+    page = reader.search("the test", k=10, dtype=np.float64,
+                         offset=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in page] == \
+        [(r["doc_id"], r["score"]) for r in full[10:20]]
