@@ -90,6 +90,22 @@ def _ensure_live_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _ensure_ngram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with bigram+trigram compound shadow terms (ngram_max=3)."""
+    from cuely_spark.indexer import build_index
+
+    key = hashlib.md5(
+        f"ngram-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+        build_index(spark, docs, out, text_col="text",
+                    doc_id_col="doc_id", rows_per_segment=2500,
+                    num_jobs=1, ngram_max=3)
+    return out
+
+
 def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     """Build a deliberately over-segmented index (5 segments), then merge
     to 1 with a low hot_df_threshold so BOTH merge paths run (hot salted
@@ -264,6 +280,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_merged_search"] = ft_merged_search
 
+    def ft_compound(spark, sf_dir):
+        """Compound-word augmentation: each term ORs with its indexed
+        bigram/trigram compounds; adjacency boosts the score."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_ngram_index(spark, sf_dir))
+        res = r.search("scan merge table", k=r.num_docs,
+                       dtype=np.float64)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_compound"] = ft_compound
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -367,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
                          "FROM documents WHERE doc_id = 42")
     out["ft_live_search"] = bm25_search_sql("merge table", k=None)
     out["ft_merged_search"] = bm25_search_sql('"scan merge" table', k=None)
+    out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
+                                         ngram_max=3)
     from cuely_spark.oracle_sql import base_ctes
     out["ft_top_key_phrases"] = f"""
 WITH {base_ctes()},

@@ -146,7 +146,8 @@ def segment_offsets(turns_path: str) -> dict[int, int]:
 def segment_kernel(id_col: str, text_col: str,
                    attr_cols: tuple[str, ...] = (),
                    offsets: dict[int, int] | None = None,
-                   store_positions: bool = True):
+                   store_positions: bool = True,
+                   ngram_max: int = 0):
     """mapInPandas kernel building complete index segments from turns
     rows — shared by the bulk builder (stage B) and the live-index
     micro-batch path. Groups by the segment_id column so Spark's file
@@ -181,6 +182,7 @@ def segment_kernel(id_col: str, text_col: str,
                 segment_id=seg,
                 store_positions=store_positions,
                 attr_tokens=attrs,
+                ngram_max=ngram_max,
             )
     return kernel
 
@@ -205,6 +207,7 @@ def build_index(
     store_positions: bool = True,
     resume: bool = False,
     attr_cols: tuple[str, ...] = (),
+    ngram_max: int = 0,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -283,7 +286,7 @@ def build_index(
     id_col = "doc_id" if offsets is None else "__ord"
     attr_cols = tuple(attr_cols)
     seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
-                                store_positions)
+                                store_positions, ngram_max)
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
@@ -357,6 +360,7 @@ def build_index(
         "posting_bytes": int(agg["posting_bytes"]),
         "num_segments": len(segments),
         "store_positions": store_positions,
+        "ngram_max": ngram_max,
         "built_sec": time.time() - t0,
         "phase_sec": phase_sec,
         # doc_id = segment_offsets[segment_id] + __ord when the turns

@@ -107,6 +107,7 @@ def build_segment_rows(
     segment_id: int,
     store_positions: bool = True,
     attr_tokens: list | None = None,
+    ngram_max: int = 0,
 ) -> pd.DataFrame:
     """Build all index rows for one segment from (doc_id, text) pairs.
 
@@ -114,6 +115,15 @@ def build_segment_rows(
     synthetic attribute terms like "role:user" — indexed as unscored
     filter postings (tf=1, position 0) and EXCLUDED from doc length /
     fieldnorms / total_tokens, so they never perturb BM25.
+
+    `ngram_max` (0, 2 or 3): also index compound terms "b:"+tok_i+tok_{i+1}
+    (and "t:"+three-token concat when 3) — the bigram/trigram shadow
+    fields the reference plans compound-word queries against
+    (crates/core/src/query/plan/mod.rs:223-300; doc-side tokenizers
+    tokenizer/fields/{bigram,trigram}.rs). Like attr tokens they are
+    excluded from doclen/fieldnorms, so plain-term BM25 is unchanged;
+    compound matches are scored with the text field's fieldnorm
+    (documented deviation: the reference keeps per-field fieldnorms).
     """
     import gc
 
@@ -127,10 +137,56 @@ def build_segment_rows(
     gc.disable()
     try:
         return _build_segment_rows_inner(doc_ids, texts, segment_id,
-                                         store_positions, attr_tokens)
+                                         store_positions, attr_tokens,
+                                         ngram_max)
     finally:
         if gc_was_enabled:
             gc.enable()
+
+
+def _ngram_stream(flat: np.ndarray, lens: np.ndarray, tok_docs: np.ndarray,
+                  tok_pos: np.ndarray, k: int, prefix: str):
+    """Compound tokens of width k from the flat token stream: one token
+    per in-doc window start, prefixed (e.g. 'b:'+tok_i+tok_{i+1});
+    docs with 1..k-1 tokens emit ONE token — the concat of all of them
+    (reference NGramTokenStream fills a short window,
+    tokenizer/fields/ngram.rs:46-83: bigram("test") == ["test"]).
+    Vectorized elementwise object-array concat; windows never cross doc
+    boundaries (mask on remaining in-doc length)."""
+    parts_t: list[np.ndarray] = []
+    parts_d: list[np.ndarray] = []
+    parts_p: list[np.ndarray] = []
+    total = flat.size
+    if total >= k:
+        # token i starts a window iff at least k tokens remain in its doc
+        doc_len_of_tok = np.repeat(lens, lens)
+        ok = tok_pos <= doc_len_of_tok - k
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            comp = np.full(idx.size, prefix, dtype=object)
+            for off in range(k):
+                comp = comp + flat[idx + off]
+            parts_t.append(comp)
+            parts_d.append(tok_docs[idx])
+            parts_p.append(tok_pos[idx])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for short_len in range(1, k):
+        sel = np.flatnonzero(lens == short_len)
+        if sel.size == 0:
+            continue
+        s = starts[sel]
+        comp = np.full(sel.size, prefix, dtype=object)
+        for off in range(short_len):
+            comp = comp + flat[s + off]
+        parts_t.append(comp)
+        parts_d.append(tok_docs[s])
+        parts_p.append(np.zeros(sel.size, dtype=np.int64))
+    if not parts_t:
+        z = np.empty(0, dtype=object)
+        zi = np.empty(0, dtype=np.int64)
+        return z, zi, zi
+    return (np.concatenate(parts_t), np.concatenate(parts_d),
+            np.concatenate(parts_p))
 
 
 def _build_segment_rows_inner(
@@ -139,6 +195,7 @@ def _build_segment_rows_inner(
     segment_id: int,
     store_positions: bool,
     attr_tokens: list | None = None,
+    ngram_max: int = 0,
 ) -> pd.DataFrame:
     n = doc_ids.size
 
@@ -182,6 +239,20 @@ def _build_segment_rows_inner(
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     # position of token within its doc
     tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    if ngram_max >= 2 and total:
+        # compound-term shadow postings (doclen/fieldnorms exclude them);
+        # windows run over the ORIGINAL text-token stream only
+        text_docs, text_pos = tok_docs, tok_pos
+        widths = [2] + ([3] if ngram_max >= 3 else [])
+        for w_, pre in zip(widths, ("b:", "t:")):
+            ctoks, cdocs, cpos = _ngram_stream(
+                flat, lens, text_docs, text_pos, w_, pre)
+            if ctoks.size:
+                terms_arr = np.concatenate([terms_arr, ctoks])
+                tok_docs = np.concatenate([tok_docs, cdocs])
+                tok_pos = np.concatenate([tok_pos, cpos])
+                total += ctoks.size
 
     if attr_lists is not None:
         # append attribute-filter postings (tf=1, pos 0) — note doclen /

@@ -14,7 +14,11 @@ half-up for positive values; numpy's banker rounding is avoided).
 from __future__ import annotations
 
 from .fieldnorm import FIELD_NORMS_TABLE
-from .queryengine.parser import ParsedQuery, parse_query
+from .queryengine.parser import (
+    ParsedQuery,
+    compound_alternatives,
+    parse_query,
+)
 
 TOKEN_RE = "[a-z0-9]+|[^a-z0-9[:space:]]"
 _FNT = ",".join(str(int(v)) for v in FIELD_NORMS_TABLE)
@@ -82,40 +86,86 @@ def _filter_cond(token: str, table: str, id_col: str,
             f"AND lower(CAST(t_{field}.{field} AS VARCHAR)) = {_q(value)})")
 
 
+def _ngram_tok_cte(ngram_max: int) -> str:
+    """`ntok`: text tokens plus 'b:'/'t:' compound shadow tokens (lead()
+    windows over the positional stream, never crossing docs)."""
+    parts = ["SELECT doc_id, term FROM tok"]
+    if ngram_max >= 2:
+        parts.append("""SELECT doc_id, 'b:' || term || t1 AS term FROM (
+    SELECT doc_id, term,
+           lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+    FROM tok) WHERE t1 IS NOT NULL""")
+        # short docs (< 2 tokens) emit one all-token concat (ngram.rs)
+        parts.append("""SELECT doc_id, 'b:' || array_to_string(toks, '') AS term
+  FROM docs WHERE len(toks) = 1""")
+    if ngram_max >= 3:
+        parts.append("""SELECT doc_id, 't:' || term || t1 || t2 AS term FROM (
+    SELECT doc_id, term, lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE t2 IS NOT NULL""")
+        parts.append("""SELECT doc_id, 't:' || array_to_string(toks, '') AS term
+  FROM docs WHERE len(toks) BETWEEN 1 AND 2""")
+    return "ntok AS (\n  " + "\n  UNION ALL\n  ".join(parts) + "\n)"
+
+
 def bm25_search_sql(query: str, k: int | None = 20,
                     table: str = "documents", text_col: str = "text",
                     id_col: str = "doc_id", occur: str = "must",
-                    should: str | None = None, offset: int = 0) -> str:
+                    should: str | None = None, offset: int = 0,
+                    ngram_max: int = 0) -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
     k=None returns ALL matching docs (no LIMIT).
     occur="should" scores the disjunction (term clauses only).
     should: extra Should clauses — LEFT JOIN + COALESCE score terms on
     the Must candidate set (never gate membership).
-    offset: SQL OFFSET (pagination)."""
+    offset: SQL OFFSET (pagination).
+    ngram_max: replicate compound-term augmentation — each simple term
+    clause becomes (term OR compounds), membership by any member, score
+    = sum of matching members (mirrors IndexReader.search compound_terms
+    against an ngram_max index)."""
     if occur == "should":
         assert should is None and offset == 0
         return _bm25_should_sql(query, k, table, text_col, id_col)
     pq: ParsedQuery = parse_query(query)
+    compounds = compound_alternatives(pq, ngram_max)
+    pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
+    c_terms = [t for alts in compounds.values() for t in alts]
     spq = parse_query(should) if should is not None else None
     s_terms = spq.all_terms() if spq is not None else []
-    all_terms = sorted(set(pq.all_terms()) | set(s_terms))
+    all_terms = sorted(set(pq.all_terms()) | set(s_terms) | set(c_terms))
     terms_in = ", ".join(_q(t) for t in all_terms)
+    stream = "ntok" if compounds else "tok"
 
     ctes = [base_ctes(table, text_col, id_col)]
+    if compounds:
+        ctes.append(_ngram_tok_cte(ngram_max))
     ctes.append(f"""tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+  FROM {stream} WHERE term IN ({terms_in}) GROUP BY doc_id, term
 ),
 dfs AS (
   SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
-  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+  FROM {stream} WHERE term IN ({terms_in}) GROUP BY term
 )""")
 
     joins = ["CROSS JOIN stats s"]
     score_terms = []
     exists_conds = []
     for ci, c in enumerate(pq.positive):
-        if c.kind == "term":
+        alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
+        if c.kind == "term" and alts:
+            members = [c.tokens[0]] + alts
+            member_scores = []
+            for mi, m in enumerate(members):
+                a = f"g{ci}_{mi}"
+                joins.append(
+                    f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
+                    f"AND {a}.term = {_q(m)}")
+                member_scores.append(
+                    f"COALESCE({_idf(m)} * {_tf_factor(f'{a}.tf')}, 0.0)")
+            score_terms.append("(" + " + ".join(member_scores) + ")")
+        elif c.kind == "term":
             a = f"t{ci}"
             joins.append(
                 f"JOIN tf {a} ON {a}.doc_id = cand.doc_id "
@@ -157,7 +207,14 @@ dfs AS (
 
     # candidate set: all positive clauses matched, no negative group fully
     for ci, c in enumerate(pq.positive):
-        if c.kind == "term":
+        alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
+        if c.kind == "term" and alts:
+            any_m = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
+                f"AND tf.term = {_q(m)})"
+                for m in [c.tokens[0]] + alts)
+            exists_conds.append(f"({any_m})")
+        elif c.kind == "term":
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
                 f"AND tf.term = {_q(c.tokens[0])})")

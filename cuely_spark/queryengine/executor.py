@@ -30,7 +30,7 @@ import numpy as np
 from .. import TOP_K_DEFAULT
 from ..bm25 import Bm25Weight
 from .kernel import TermPostings, count_matches, segment_topk, union_topk
-from .parser import ParsedQuery, parse_query
+from .parser import ParsedQuery, compound_alternatives, parse_query
 
 _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
                  "ndocs", "docs", "tfs", "fnids",
@@ -52,14 +52,29 @@ def _build_term_postings(grp) -> TermPostings:
     )
 
 
-def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype):
-    """(clause_specs, mustnot_groups) for one segment's TermPostings."""
+def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
+                compounds: dict | None = None):
+    """(clause_specs, mustnot_groups) for one segment's TermPostings.
+
+    `compounds`: pq.clauses-index -> compound alternative terms; a term
+    clause with alternatives becomes an ("or", [(tp, w), ...], None)
+    group — (term OR b:compound OR ...) per the reference's compound
+    augmentation plan shape."""
     empty_tp = TermPostings([], [], [], [], [], [])
+    pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
     specs = []
-    for c in pq.positive:
+    for j, c in enumerate(pq.positive):
         if c.kind == "term":
             t = c.tokens[0]
-            specs.append(("term", by_term.get(t, empty_tp), weights[t]))
+            alts = (compounds or {}).get(pos_idx[j])
+            if alts:
+                members = [(by_term.get(t, empty_tp), weights[t])]
+                members += [(by_term.get(a, empty_tp), weights[a])
+                            for a in alts]
+                specs.append(("or", members, None))
+            else:
+                specs.append(("term", by_term.get(t, empty_tp),
+                              weights[t]))
         elif c.kind == "filter":
             specs.append(("filter", by_term.get(c.tokens[0], empty_tp),
                           None))
@@ -161,7 +176,8 @@ class IndexReader:
     def search(self, query: str | ParsedQuery, k: int = TOP_K_DEFAULT,
                dtype=np.float32, with_meta: bool = False,
                occur: str = "must", max_docs_per_segment: int | None = None,
-               offset: int = 0, should: str | ParsedQuery | None = None):
+               offset: int = 0, should: str | ParsedQuery | None = None,
+               compound_terms: bool | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -175,6 +191,10 @@ class IndexReader:
         offset: skip the first `offset` ranked hits (pagination —
         reference: skip(offset).take(top_n), collector/top_docs.rs:450-453
         with offset = page * num_results, query/mod.rs:147).
+        compound_terms: augment adjacent simple terms with indexed
+        bigram/trigram compounds — "new york" also matches docs whose
+        bigram field holds "newyork" (plan/mod.rs:223-300). Defaults to
+        on iff the index was built with ngram_max >= 2.
         max_docs_per_segment: ShortCircuit cap — consider only the first
         N candidate docs per segment in doc order (reference default
         250_000, config/defaults.rs:38-40)."""
@@ -192,7 +212,14 @@ class IndexReader:
                 raise ValueError(
                     "negations belong in the must query, not in should")
         s_terms = spq.all_terms() if spq is not None else []
-        dfs = self.term_dfs(list(dict.fromkeys(pq.all_terms() + s_terms)))
+        ngram_max = int(self.stats.get("ngram_max", 0) or 0)
+        use_compounds = (compound_terms if compound_terms is not None
+                         else ngram_max >= 2)
+        compounds = (compound_alternatives(pq, ngram_max)
+                     if use_compounds and occur != "should" else {})
+        c_terms = [t for alts in compounds.values() for t in alts]
+        dfs = self.term_dfs(list(dict.fromkeys(
+            pq.all_terms() + s_terms + c_terms)))
         if occur == "should":
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
@@ -200,18 +227,30 @@ class IndexReader:
             if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
                 return self._empty_result()
         else:
-            # a required term absent from the whole index -> empty result
-            required = [c.tokens for c in pq.positive]
-            if any(dfs[t] == 0 for toks in required for t in toks):
-                return self._empty_result()
+            # a required clause with no live member anywhere -> empty;
+            # a term clause with compound alternatives is live if the
+            # term OR any alternative has df > 0
+            pos_idx = [i for i, c in enumerate(pq.clauses)
+                       if c.kind != "not"]
+            for j, c in enumerate(pq.positive):
+                alts = compounds.get(pos_idx[j], [])
+                if c.kind == "term" and alts:
+                    if (dfs[c.tokens[0]] == 0
+                            and all(dfs[a] == 0 for a in alts)):
+                        return self._empty_result()
+                elif any(dfs[t] == 0 for t in c.tokens):
+                    return self._empty_result()
         weights = self._weights(pq, dfs, dtype)
         if spq is not None:
             weights.update(self._weights(spq, dfs, dtype))
+        for t in c_terms:
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self.avg_fieldnorm, dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
             spq is not None
             and any(c.kind == "phrase" for c in spq.positive))
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        terms = list(dict.fromkeys(pq.all_terms() + s_terms))
+        terms = list(dict.fromkeys(pq.all_terms() + s_terms + c_terms))
         seg_k = k + offset  # each segment must surface the skipped page
 
         postings = (
@@ -225,7 +264,8 @@ class IndexReader:
 
             by_term = {t: _build_term_postings(g)
                        for t, g in pdf.groupby("term")}
-            specs, negs = _make_specs(pq, weights, by_term, dtype)
+            specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                      compounds=compounds)
             if occur == "should":
                 term_specs = [(tp, w) for kind, tp, w in specs]
                 docs, scores = union_topk(term_specs, seg_k, dtype=dtype,

@@ -289,6 +289,54 @@ def intersect_terms(tps: list[TermPostings]):
     return cand
 
 
+def _group_docs(group: list[tuple]) -> np.ndarray:
+    """Union of member posting docs for an or-group [(tp, w), ...]."""
+    parts = [tp.decode_blocks(np.arange(tp.nblocks))[0]
+             for tp, _ in group if tp.nblocks > 0]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _group_found(group: list[tuple], cand: np.ndarray) -> np.ndarray:
+    """Mask: candidate matches >= 1 member of the or-group."""
+    m = np.zeros(cand.size, dtype=bool)
+    for tp, _ in group:
+        if tp.nblocks == 0 or cand.size == 0:
+            continue
+        _, _, found = tp.lookup(cand)
+        m |= found
+    return m
+
+
+def intersect_units(units: list) -> np.ndarray:
+    """Conjunction over units; a unit is either ("one", TermPostings) —
+    a required posting list — or ("any", [(tp, w), ...]) — an or-group
+    satisfied by any member (the compound-term augmentation shape,
+    reference: query/plan/mod.rs:223-300 builds (term OR compounds) AND
+    (term OR compounds)). Rarest unit drives."""
+    def est(u):
+        kind, v = u
+        if kind == "one":
+            return v.doc_count
+        return sum(tp.doc_count for tp, _ in v)
+
+    order = sorted(range(len(units)), key=lambda i: est(units[i]))
+    kind, v = units[order[0]]
+    cand = (v.decode_blocks(np.arange(v.nblocks))[0] if kind == "one"
+            else _group_docs(v))
+    for j in order[1:]:
+        if cand.size == 0:
+            return cand
+        kind, v = units[j]
+        if kind == "one":
+            _, _, found = v.lookup(cand)
+        else:
+            found = _group_found(v, cand)
+        cand = cand[found]
+    return cand
+
+
 def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
     """Phrase match count per candidate doc (0 = no match). `tps` in
     phrase word order; cand sorted and present in every tp."""
@@ -336,6 +384,11 @@ def segment_topk(
     d = dtype
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
     for kind, tp, _ in clause_specs:
+        if kind == "or":
+            # an or-group needs at least one live member
+            if all(t.nblocks == 0 for t, _ in tp):
+                return empty
+            continue
         tps = tp if isinstance(tp, list) else [tp]
         if any(t.nblocks == 0 for t in tps):
             return empty
@@ -348,10 +401,14 @@ def segment_topk(
         return single_term_topk(tp, w, k)
 
     # conjunctive candidates across all positive clauses
-    all_tps: list[TermPostings] = []
+    units: list = []
     for kind, tp, _ in clause_specs:
-        all_tps.extend(tp if isinstance(tp, list) else [tp])
-    cand = intersect_terms(all_tps)
+        if kind == "or":
+            units.append(("any", tp))
+        else:
+            units.extend(("one", t)
+                         for t in (tp if isinstance(tp, list) else [tp]))
+    cand = intersect_units(units)
     if cand.size == 0:
         return empty
     if max_docs is not None and cand.size > max_docs:
@@ -385,6 +442,17 @@ def segment_topk(
             tfs, fnids, found = tp.lookup(cand)
             assert found.all()
             total = (total + w.score(fnids, tfs)).astype(d)
+        elif kind == "or":
+            # sum of matching alternatives (tantivy Or node sums all
+            # matching subscorers); >=1 matches by construction
+            for mtp, mw in tp:
+                if mtp.nblocks == 0:
+                    continue
+                tfs, fnids, found = mtp.lookup(cand)
+                contrib = np.zeros(cand.size, dtype=d)
+                if found.any():
+                    contrib[found] = mw.score(fnids[found], tfs[found])
+                total = (total + contrib).astype(d)
         else:  # phrase
             tfs = phrase_tf(tp, cand)
             keep = tfs > 0
@@ -437,13 +505,21 @@ def count_matches(
 ) -> int:
     """Exact match count for the conjunction (no scoring)."""
     for kind, tp, _ in clause_specs:
+        if kind == "or":
+            if all(t.nblocks == 0 for t, _ in tp):
+                return 0
+            continue
         tps = tp if isinstance(tp, list) else [tp]
         if any(t.nblocks == 0 for t in tps):
             return 0
-    all_tps: list[TermPostings] = []
+    units: list = []
     for kind, tp, _ in clause_specs:
-        all_tps.extend(tp if isinstance(tp, list) else [tp])
-    cand = intersect_terms(all_tps)
+        if kind == "or":
+            units.append(("any", tp))
+        else:
+            units.extend(("one", t)
+                         for t in (tp if isinstance(tp, list) else [tp]))
+    cand = intersect_units(units)
     for kind, tp, _ in clause_specs:
         if kind == "phrase" and cand.size:
             cand = cand[phrase_tf(tp, cand) > 0]

@@ -149,3 +149,54 @@ def parse_query(q: str) -> ParsedQuery:
     if not pq.positive:
         raise ValueError("query has no positive clauses")
     return pq
+
+
+# reference: crates/core/src/query/mod.rs:43
+MAX_TERMS_FOR_NGRAM_LOOKUPS = 16
+
+
+def compound_alternatives(pq: ParsedQuery,
+                          ngram_max: int) -> dict[int, list[str]]:
+    """clause-index (into pq.clauses) -> compound alternative terms.
+
+    Mirrors the reference's sliding-window compound augmentation
+    (crates/core/src/query/plan/mod.rs:223-300): for every simple term
+    clause i, windows (start, end) = ((i+off)-w, i+off) for w in 2..=3,
+    off in 0..=w; the window's compound is the concatenation of the
+    simple-term tokens at positions start..=end (non-simple positions
+    are skipped, exactly like `terms_for_adjacent.get(k)` matching only
+    Simple terms). Each compound is looked up in every compound field
+    present — here the "b:" bigram and (ngram_max>=3) "t:" trigram
+    shadow-term namespaces. Skipped entirely when the query has more
+    than MAX_TERMS_FOR_NGRAM_LOOKUPS clauses.
+    """
+    out: dict[int, list[str]] = {}
+    clauses = pq.clauses
+    if ngram_max < 2 or len(clauses) > MAX_TERMS_FOR_NGRAM_LOOKUPS:
+        return out
+    prefixes = ["b:"] + (["t:"] if ngram_max >= 3 else [])
+    for i, c in enumerate(clauses):
+        if c.kind != "term":
+            continue
+        alts: list[str] = []
+        seen: set[str] = set()
+        for w in (2, 3):
+            for off in range(w + 1):
+                start = max(0, (i + off) - w)
+                end = i + off
+                if start >= end:
+                    continue
+                toks = [clauses[k].tokens[0]
+                        for k in range(start, end + 1)
+                        if k < len(clauses) and clauses[k].kind == "term"]
+                if len(toks) < 2:
+                    continue  # a 1-token "compound" is the term itself
+                compound = "".join(toks)
+                for pre in prefixes:
+                    t = pre + compound
+                    if t not in seen:
+                        seen.add(t)
+                        alts.append(t)
+        if alts:
+            out[i] = alts
+    return out

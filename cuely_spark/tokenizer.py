@@ -136,14 +136,27 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.map(tokenize)
 
 
+def ngrams(tokens: list[str], n: int) -> list[str]:
+    """Sliding-window token concatenation, reference NGramTokenStream
+    semantics (crates/core/src/tokenizer/fields/ngram.rs:46-83, test
+    vectors in bigram.rs/trigram.rs): texts with fewer than n tokens
+    emit ONE token — the concatenation of all of them — so a
+    single-token doc is findable through its compound field."""
+    if not tokens:
+        return []
+    if len(tokens) < n:
+        return ["".join(tokens)]
+    return ["".join(tokens[i:i + n])
+            for i in range(len(tokens) - n + 1)]
+
+
 def bigrams(tokens: list[str]) -> list[str]:
-    """Adjacent-token concatenation, reference bigram tokenizer
-    (crates/core/src/tokenizer/fields/bigram.rs:39-47)."""
-    return [a + b for a, b in zip(tokens, tokens[1:])]
+    """Reference bigram tokenizer (tokenizer/fields/bigram.rs:39-47)."""
+    return ngrams(tokens, 2)
 
 
 def trigrams(tokens: list[str]) -> list[str]:
-    return [a + b + c for a, b, c in zip(tokens, tokens[1:], tokens[2:])]
+    return ngrams(tokens, 3)
 
 
 # --- Spark-side registration ----------------------------------------------

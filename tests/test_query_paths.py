@@ -87,3 +87,30 @@ def test_search_offset_pagination(reader):
                          offset=10).collect()
     assert [(r["doc_id"], r["score"]) for r in page] == \
         [(r["doc_id"], r["score"]) for r in full[10:20]]
+
+
+def test_compound_word_recall(spark, tmp_path_factory):
+    """'new york' must find a doc whose only token is 'newyork' via the
+    bigram shadow field (the reference compound-word e2e case,
+    crates/core/src/query/mod.rs compound tests)."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rows = [(0, "i love new york in the summer"),
+            (1, "newyork"),
+            (2, "york is a city in england"),
+            (3, "new products launched today"),
+            (4, "totally unrelated text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("ngram_idx"))
+    build_index(spark, df, out, doc_id_col="doc_id", ngram_max=3)
+    r = IndexReader(spark, out)
+    docs, scores = r.search_collect("new york", k=10, dtype=np.float64)
+    # doc 0 matches plainly (+compound boost); doc 1 ONLY via compound
+    assert set(docs.tolist()) == {0, 1}
+    # without augmentation doc 1 is unreachable
+    d2 = r.search("new york", k=10, dtype=np.float64,
+                  compound_terms=False).collect()
+    assert {row["doc_id"] for row in d2} == {0}

@@ -96,3 +96,45 @@ def test_ascii_fast_path_matches_slow_path(s):
             slow.extend(_split_preserve(word))
     slow = [_normalize_token(t) for t in slow]
     assert tokenize(s) == slow
+
+
+def test_ngram_reference_vectors():
+    """Exact test vectors from the reference bigram/trigram tokenizers
+    (crates/core/src/tokenizer/fields/bigram.rs + trigram.rs tests):
+    short texts emit one all-token concat."""
+    from cuely_spark.tokenizer import bigrams, trigrams
+
+    assert bigrams([]) == []
+    assert bigrams(["test"]) == ["test"]
+    assert bigrams(["this", "is"]) == ["thisis"]
+    assert bigrams(["this", "is", "a"]) == ["thisis", "isa"]
+    assert bigrams(["this", "is", "a", "test"]) == ["thisis", "isa",
+                                                    "atest"]
+    assert trigrams([]) == []
+    assert trigrams(["test"]) == ["test"]
+    assert trigrams(["this", "is"]) == ["thisis"]
+    assert trigrams(["this", "is", "a"]) == ["thisisa"]
+    assert trigrams(["this", "is", "a", "test"]) == ["thisisa", "isatest"]
+
+
+def test_segment_ngram_stream_matches_tokenizer():
+    """The vectorized segment-builder n-gram stream emits exactly the
+    reference tokenizer's compound tokens per doc."""
+    import numpy as np
+
+    from cuely_spark.indexer.segment import build_segment_rows
+    from cuely_spark.tokenizer import bigrams, tokenize, trigrams
+
+    texts = ["this is a test", "test", "this is", "one two three",
+             "", "a b c d e"]
+    ids = np.arange(len(texts), dtype=np.int64)
+    rows = build_segment_rows(ids, texts, segment_id=0, ngram_max=3)
+    t = rows[rows["kind"] == "t"]
+    got = set(t["term"])
+    exp = set()
+    for s in texts:
+        toks = tokenize(s)
+        exp.update(toks)
+        exp.update("b:" + g for g in bigrams(toks))
+        exp.update("t:" + g for g in trigrams(toks))
+    assert got == exp
