@@ -147,7 +147,8 @@ def segment_kernel(id_col: str, text_col: str,
                    attr_cols: tuple[str, ...] = (),
                    offsets: dict[int, int] | None = None,
                    store_positions: bool = True,
-                   ngram_max: int = 0):
+                   ngram_max: int = 0,
+                   stem: bool = False):
     """mapInPandas kernel building complete index segments from turns
     rows — shared by the bulk builder (stage B) and the live-index
     micro-batch path. Groups by the segment_id column so Spark's file
@@ -183,6 +184,7 @@ def segment_kernel(id_col: str, text_col: str,
                 store_positions=store_positions,
                 attr_tokens=attrs,
                 ngram_max=ngram_max,
+                stem=stem,
             )
     return kernel
 
@@ -208,6 +210,7 @@ def build_index(
     resume: bool = False,
     attr_cols: tuple[str, ...] = (),
     ngram_max: int = 0,
+    stem: bool = False,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -286,7 +289,7 @@ def build_index(
     id_col = "doc_id" if offsets is None else "__ord"
     attr_cols = tuple(attr_cols)
     seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
-                                store_positions, ngram_max)
+                                store_positions, ngram_max, stem)
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
@@ -361,6 +364,7 @@ def build_index(
         "num_segments": len(segments),
         "store_positions": store_positions,
         "ngram_max": ngram_max,
+        "stemmed": stem,
         "built_sec": time.time() - t0,
         "phase_sec": phase_sec,
         # doc_id = segment_offsets[segment_id] + __ord when the turns

@@ -108,6 +108,7 @@ def build_segment_rows(
     store_positions: bool = True,
     attr_tokens: list | None = None,
     ngram_max: int = 0,
+    stem: bool = False,
 ) -> pd.DataFrame:
     """Build all index rows for one segment from (doc_id, text) pairs.
 
@@ -138,7 +139,7 @@ def build_segment_rows(
     try:
         return _build_segment_rows_inner(doc_ids, texts, segment_id,
                                          store_positions, attr_tokens,
-                                         ngram_max)
+                                         ngram_max, stem)
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -196,6 +197,7 @@ def _build_segment_rows_inner(
     store_positions: bool,
     attr_tokens: list | None = None,
     ngram_max: int = 0,
+    stem: bool = False,
 ) -> pd.DataFrame:
     n = doc_ids.size
 
@@ -240,10 +242,26 @@ def _build_segment_rows_inner(
     # position of token within its doc
     tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
+    # shadow streams run over the ORIGINAL text-token stream only
+    text_docs, text_pos = tok_docs, tok_pos
+
+    if stem and total:
+        # stemmed shadow postings "s:<porter_stem>" (reference indexes
+        # Snowball-stemmed shadow fields, schema/text_field.rs:294-326);
+        # stems computed once per unique token, then gathered
+        from ..stemmer import porter_stem
+
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        stems = np.asarray(["s:" + porter_stem(u) for u in uniq],
+                           dtype=object)
+        s_flat = stems[inv]
+        terms_arr = np.concatenate([terms_arr, s_flat])
+        tok_docs = np.concatenate([tok_docs, text_docs])
+        tok_pos = np.concatenate([tok_pos, text_pos])
+        total += s_flat.size
+
     if ngram_max >= 2 and total:
-        # compound-term shadow postings (doclen/fieldnorms exclude them);
-        # windows run over the ORIGINAL text-token stream only
-        text_docs, text_pos = tok_docs, tok_pos
+        # compound-term shadow postings (doclen/fieldnorms exclude them)
         widths = [2] + ([3] if ngram_max >= 3 else [])
         for w_, pre in zip(widths, ("b:", "t:")):
             ctoks, cdocs, cpos = _ngram_stream(

@@ -177,7 +177,8 @@ class IndexReader:
                dtype=np.float32, with_meta: bool = False,
                occur: str = "must", max_docs_per_segment: int | None = None,
                offset: int = 0, should: str | ParsedQuery | None = None,
-               compound_terms: bool | None = None):
+               compound_terms: bool | None = None,
+               stemmed: bool | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -195,6 +196,10 @@ class IndexReader:
         bigram/trigram compounds — "new york" also matches docs whose
         bigram field holds "newyork" (plan/mod.rs:223-300). Defaults to
         on iff the index was built with ngram_max >= 2.
+        stemmed: each simple term also ORs with its "s:"+porter_stem
+        shadow term, so "running" matches docs containing "run"
+        (reference stemmed fields, schema/text_field.rs:294-326).
+        Defaults to on iff the index was built with stem=True.
         max_docs_per_segment: ShortCircuit cap — consider only the first
         N candidate docs per segment in doc order (reference default
         250_000, config/defaults.rs:38-40)."""
@@ -217,6 +222,15 @@ class IndexReader:
                          else ngram_max >= 2)
         compounds = (compound_alternatives(pq, ngram_max)
                      if use_compounds and occur != "should" else {})
+        use_stem = (stemmed if stemmed is not None
+                    else bool(self.stats.get("stemmed")))
+        if use_stem and occur != "should":
+            from ..stemmer import porter_stem
+
+            for i, c in enumerate(pq.clauses):
+                if c.kind == "term":
+                    compounds.setdefault(i, []).append(
+                        "s:" + porter_stem(c.tokens[0]))
         c_terms = [t for alts in compounds.values() for t in alts]
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms)))

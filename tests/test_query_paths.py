@@ -114,3 +114,72 @@ def test_compound_word_recall(spark, tmp_path_factory):
     d2 = r.search("new york", k=10, dtype=np.float64,
                   compound_terms=False).collect()
     assert {row["doc_id"] for row in d2} == {0}
+
+
+def test_stemmed_recall_and_scores(spark, tmp_path_factory):
+    """stem=True index: 'running' matches docs containing run/runs/ran?
+    (no - only same-stem forms), with score = exact-term BM25 + stemmed
+    shadow BM25, verified against a brute-force model using the same
+    Porter stemmer."""
+    import numpy as np
+
+    from cuely_spark.bm25 import Bm25Weight
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.stemmer import porter_stem
+    from cuely_spark.tokenizer import tokenize
+
+    rows = [(0, "running in the park"),
+            (1, "i run every day"),
+            (2, "he runs marathons"),
+            (3, "a ran b"),              # 'ran' stems to 'ran' != 'run'
+            (4, "nothing relevant here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("stem_idx"))
+    build_index(spark, df, out, doc_id_col="doc_id", stem=True)
+    r = IndexReader(spark, out)
+    got = {row["doc_id"]: row["score"] for row in
+           r.search("running", k=10, dtype=np.float64).collect()}
+    # membership: exact 'running' (doc 0) + same-stem docs (1: run,
+    # 2: runs->run); 'ran' does NOT stem to 'run' in Porter
+    assert set(got) == {0, 1, 2}
+
+    # brute-force score model (f64): per doc, sum over the two members
+    texts = {i: t for i, t in rows}
+    n_docs = len(rows)
+    doclens = {i: len(tokenize(t)) for i, t in rows}
+    avg = sum(doclens.values()) / n_docs
+    from cuely_spark.fieldnorm import FIELD_NORMS_TABLE, fieldnorm_to_id
+
+    def members_of(doc):
+        toks = tokenize(texts[doc])
+        out_ = {"running": toks.count("running")}
+        out_["s:run"] = sum(1 for t in toks if porter_stem(t) == "run")
+        return out_
+
+    df_exact = sum(1 for t in texts.values() if "running" in tokenize(t))
+    df_stem = sum(1 for t in texts.values()
+                  if any(porter_stem(x) == "run" for x in tokenize(t)))
+    exp = {}
+    for doc in range(n_docs):
+        tfs = members_of(doc)
+        fn = float(FIELD_NORMS_TABLE[fieldnorm_to_id(
+            np.array([doclens[doc]]))[0]])
+        s = 0.0
+        for term, dfv in (("running", df_exact), ("s:run", df_stem)):
+            tf = tfs[term]
+            if tf == 0:
+                continue
+            w = Bm25Weight(dfv, n_docs, avg, dtype=np.float64)
+            s += float(w.score(
+                np.array([fieldnorm_to_id(np.array([doclens[doc]]))[0]]),
+                np.array([tf]))[0])
+        if s > 0:
+            exp[doc] = s
+    assert set(exp) == set(got)
+    for d in got:
+        np.testing.assert_allclose(got[d], exp[d], rtol=1e-9)
+    # opt-out restores exact-only matching
+    off = r.search("running", k=10, dtype=np.float64,
+                   stemmed=False).collect()
+    assert {row["doc_id"] for row in off} == {0}
