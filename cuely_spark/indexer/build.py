@@ -39,7 +39,6 @@ Global stats (num_docs, total_tokens -> avg_fieldnorm) land in
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
@@ -48,6 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from .segment import INDEX_ROW_SCHEMA, build_segment_rows
 
 DEFAULT_ROWS_PER_SEGMENT = 100_000
@@ -120,20 +120,17 @@ def segment_offsets(turns_path: str) -> dict[int, int]:
 
     Driver-side loop over one footer per segment — at very large
     segment counts run the same count as a tiny Spark job over file
-    metadata; counts come from immutable written files either way."""
-    import pyarrow.parquet as pq
-
+    metadata; counts come from immutable written files either way.
+    All IO goes through fsio, so the index root may be s3://,
+    hdfs://, file:// or a plain local path."""
     counts: dict[int, int] = {}
-    for d in os.listdir(turns_path):
+    for d in fsio.list_subdirs(turns_path):
         if not d.startswith("segment_id="):
             continue
         seg = int(d.split("=")[1])
-        total = 0
-        segdir = os.path.join(turns_path, d)
-        for f in os.listdir(segdir):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(segdir, f)).metadata.num_rows
+        segdir = fsio.join(turns_path, d)
+        total = sum(fsio.parquet_num_rows(fsio.join(segdir, f))
+                    for f in fsio.list_files(segdir, ".parquet"))
         counts[seg] = total
     offsets: dict[int, int] = {}
     acc = 0
@@ -223,7 +220,7 @@ def build_index(
     site:/intitle: analog).
     """
     paths = IndexPaths(out_path)
-    os.makedirs(paths.manifest_dir, exist_ok=True)
+    fsio.makedirs(paths.manifest_dir)
     t0 = time.time()
     phase_sec: dict[str, float] = {}
     _last = [t0]
@@ -235,9 +232,8 @@ def build_index(
 
     # ---------------- Stage A: doc ids + row store -----------------------
     stage_a_manifest = os.path.join(paths.manifest_dir, "stage_a.json")
-    if resume and os.path.exists(stage_a_manifest):
-        with open(stage_a_manifest) as f:
-            stage_a = json.load(f)
+    if resume and fsio.exists(stage_a_manifest):
+        stage_a = fsio.read_json(stage_a_manifest)
         num_segments = stage_a["num_segments"]
         offsets = ({int(k): v for k, v in stage_a["offsets"].items()}
                    if stage_a.get("offsets") else None)
@@ -274,13 +270,12 @@ def build_index(
                         if offsets is not None else None),
             "elapsed_sec": time.time() - t0,
         }
-        with open(stage_a_manifest, "w") as f:
-            json.dump(stage_a, f, indent=1)
+        fsio.write_json(stage_a_manifest, stage_a)
 
     # ---------------- Stage B: per-job segment builds --------------------
     segments = sorted(
         int(d.split("=")[1])
-        for d in os.listdir(paths.turns)
+        for d in fsio.list_subdirs(paths.turns)
         if d.startswith("segment_id=")
     )
     jobs = _job_groups(segments, num_jobs)
@@ -293,7 +288,7 @@ def build_index(
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
-        if resume and os.path.exists(mpath):
+        if resume and fsio.exists(mpath):
             continue
         tj = time.time()
         src = (
@@ -329,8 +324,7 @@ def build_index(
             "metrics": [r.asDict() for r in g],
             "elapsed_sec": time.time() - tj,
         }
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1)
+        fsio.write_json(mpath, manifest)
         _mark(f"job{job_id}_manifest")
 
     # ---------------- Stage C: global term stats + stats.json ------------
@@ -372,6 +366,5 @@ def build_index(
         "segment_offsets": ({str(k): v for k, v in offsets.items()}
                             if offsets is not None else None),
     }
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=1)
+    fsio.write_json(paths.stats, stats)
     return paths

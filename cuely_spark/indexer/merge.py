@@ -29,7 +29,6 @@ so a concatenation of runs is a valid posting list.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 
@@ -37,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import fsio
 from .build import IndexPaths
 from .segment import INDEX_ROW_SCHEMA
 
@@ -52,13 +52,12 @@ def merge_segments(
 ) -> IndexPaths:
     src = IndexPaths(index_path)
     dst = IndexPaths(out_path)
-    os.makedirs(dst.manifest_dir, exist_ok=True)
-    with open(src.stats) as f:
-        stats = json.load(f)
+    fsio.makedirs(dst.manifest_dir)
+    stats = fsio.read_json(src.stats)
 
     seg_dirs = sorted(
         int(d.split("=")[1])
-        for d in os.listdir(os.path.join(src.index, "kind=p"))
+        for d in fsio.list_subdirs(os.path.join(src.index, "kind=p"))
         if d.startswith("segment_id=")
     )
     n_src = len(seg_dirs)
@@ -232,10 +231,10 @@ def merge_segments(
     new_stats["segment_map"] = {str(k): v for k, v in seg_map.items()}
     new_stats["turns_path"] = stats.get(
         "turns_path", os.path.join(index_path, "turns"))
-    with open(dst.stats, "w") as f:
-        json.dump(new_stats, f, indent=1)
-    with open(os.path.join(dst.manifest_dir, "merge.json"), "w") as f:
-        json.dump({"source": index_path, "segment_map":
-                   {str(k): v for k, v in seg_map.items()},
-                   "hot_df_threshold": hot_df_threshold}, f, indent=1)
+    fsio.write_json(dst.stats, new_stats)
+    fsio.write_json(
+        os.path.join(dst.manifest_dir, "merge.json"),
+        {"source": index_path, "segment_map":
+         {str(k): v for k, v in seg_map.items()},
+         "hot_df_threshold": hot_df_threshold})
     return dst

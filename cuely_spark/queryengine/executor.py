@@ -22,7 +22,6 @@ Query lifecycle (Spark mapping of the reference's LocalSearcher::search,
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -94,8 +93,9 @@ class IndexReader:
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
-        with open(os.path.join(path, "stats.json")) as f:
-            self.stats = json.load(f)
+        from .. import fsio
+
+        self.stats = fsio.read_json(os.path.join(path, "stats.json"))
         self.num_docs = self.stats["num_docs"]
         self.avg_fieldnorm = self.stats["avg_fieldnorm"]
         self._postings_path = os.path.join(path, "index", "kind=p")

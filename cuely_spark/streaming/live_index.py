@@ -20,14 +20,13 @@ Semantics:
 
 from __future__ import annotations
 
-import json
 import math
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from ..indexer.build import IndexPaths, segment_kernel, segment_offsets
 from ..indexer.segment import INDEX_ROW_SCHEMA
 
@@ -63,8 +62,7 @@ def refresh_stats(spark: SparkSession, root: str) -> dict:
         "store_positions": True,
         "live": True,
     }
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=1)
+    fsio.write_json(paths.stats, stats)
     return stats
 
 
@@ -78,12 +76,11 @@ class LiveIndexWriter:
         self.text_col = text_col
         self.order_cols = list(order_cols)
         self.rows_per_segment = rows_per_segment
-        os.makedirs(self.paths.manifest_dir, exist_ok=True)
+        fsio.makedirs(self.paths.manifest_dir)
         self._state_path = os.path.join(self.paths.manifest_dir,
                                         "live_state.json")
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                self.state = json.load(f)
+        if fsio.exists(self._state_path):
+            self.state = fsio.read_json(self._state_path)
         else:
             self.state = {"next_doc_id": 0, "batches": {}}
 
@@ -142,7 +139,7 @@ class LiveIndexWriter:
                  .drop("__ord"))
         turns.write.mode("overwrite").partitionBy("segment_id") \
             .parquet(self.paths.turns)
-        shutil.rmtree(staging, ignore_errors=True)
+        fsio.rmtree(staging)
 
         # 3) stage-B analog: posting build on executors
         segs = sorted(offs)
@@ -162,8 +159,7 @@ class LiveIndexWriter:
                                        "segments": segs}
         self.state["next_doc_id"] = max(self.state["next_doc_id"],
                                         base + int(n_written))
-        with open(self._state_path, "w") as f:
-            json.dump(self.state, f, indent=1)
+        fsio.write_json(self._state_path, self.state)
         if is_replay:
             # incremental stats would double-count a replayed batch
             refresh_stats(self.spark, self.paths.root)
@@ -179,7 +175,7 @@ class LiveIndexWriter:
         new_t = spark.read.option("basePath", paths.index).parquet(
             *[os.path.join(paths.index, "kind=t", f"segment_id={s}")
               for s in batch_segs]).select("term", "df", "ttf")
-        if os.path.exists(paths.term_stats):
+        if fsio.exists(paths.term_stats):
             # materialize the old stats before overwriting their path
             old = (spark.read.parquet(paths.term_stats)
                    .select("term", "df", "ttf").localCheckpoint())
@@ -196,9 +192,8 @@ class LiveIndexWriter:
                     F.sum("total_tokens").alias("tt"),
                     F.sum("posting_bytes").alias("pb"),
                     F.count("*").alias("nseg")).collect()[0]
-        if os.path.exists(paths.stats):
-            with open(paths.stats) as f:
-                stats = json.load(f)
+        if fsio.exists(paths.stats):
+            stats = fsio.read_json(paths.stats)
         else:
             stats = {"num_docs": 0, "total_tokens": 0, "posting_bytes": 0,
                      "num_segments": 0}
@@ -211,8 +206,7 @@ class LiveIndexWriter:
                                   / float(stats["num_docs"]))
         stats["store_positions"] = True
         stats["live"] = True
-        with open(paths.stats, "w") as f:
-            json.dump(stats, f, indent=1)
+        fsio.write_json(paths.stats, stats)
 
     def sink(self):
         """Use as .writeStream.foreachBatch(writer.sink())."""
@@ -227,18 +221,15 @@ class LiveIndexWriter:
             if int(bkey) < min_batch_id:
                 for seg in self.state["batches"][bkey]["segments"]:
                     for kind in "ptdg":
-                        shutil.rmtree(
+                        fsio.rmtree(
                             os.path.join(self.paths.index, f"kind={kind}",
-                                         f"segment_id={seg}"),
-                            ignore_errors=True)
-                    shutil.rmtree(
+                                         f"segment_id={seg}"))
+                    fsio.rmtree(
                         os.path.join(self.paths.turns,
-                                     f"segment_id={seg}"),
-                        ignore_errors=True)
+                                     f"segment_id={seg}"))
                 del self.state["batches"][bkey]
                 dropped += 1
-        with open(self._state_path, "w") as f:
-            json.dump(self.state, f, indent=1)
+        fsio.write_json(self._state_path, self.state)
         if dropped:
             refresh_stats(self.spark, self.paths.root)
         return dropped

@@ -147,3 +147,31 @@ def test_approx_count(spark, index_multi, oracle_small):
     assert est > 0
     # independence estimate should be within an order of magnitude here
     assert exact / 50 <= est <= exact * 50
+
+
+def test_index_root_as_file_uri(spark, transcripts_small, tmp_path_factory):
+    """Build, search and merge with the index root given as a file://
+    URI — all metadata IO must go through the pyarrow FileSystem
+    abstraction (object-store portability), no raw os.listdir/open."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.indexer.merge import merge_segments
+    from cuely_spark.queryengine import IndexReader
+
+    df = spark.createDataFrame(
+        transcripts_small.drop(columns=["expected_doc_id"]).head(600))
+    base = tmp_path_factory.mktemp("uri_idx")
+    root = "file://" + str(base / "idx")
+    build_index(spark, df, root, rows_per_segment=200)
+    r = IndexReader(spark, root)
+    d1, s1 = r.search_collect("the test", k=10, dtype=np.float64)
+    assert d1.size > 0
+
+    merged = "file://" + str(base / "merged")
+    merge_segments(spark, root, merged, target_segments=1,
+                   hot_df_threshold=50)
+    rm = IndexReader(spark, merged)
+    d2, s2 = rm.search_collect("the test", k=10, dtype=np.float64)
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_array_equal(s1, s2)
