@@ -106,6 +106,25 @@ def _ensure_ngram_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Score-sorted index (ids assigned by n_chars desc — the
+    PreComputedScore index-sort analog); original ids kept in the row
+    store column orig_id and restored after search."""
+    from cuely_spark.indexer import build_index
+
+    key = hashlib.md5(
+        f"sorted-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = (spark.read.parquet(os.path.join(sf_dir,
+                                                "documents.parquet"))
+                .withColumnRenamed("doc_id", "orig_id"))
+        build_index(spark, docs, out, text_col="text",
+                    order_cols=("orig_id",), score_col="n_chars",
+                    rows_per_segment=2500, num_jobs=1)
+    return out
+
+
 def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     """Build a deliberately over-segmented index (5 segments), then merge
     to 1 with a low hot_df_threshold so BOTH merge paths run (hot salted
@@ -294,6 +313,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_compound"] = ft_compound
 
+    def ft_sorted_search(spark, sf_dir):
+        """Search a score-sorted index (index sort by n_chars desc);
+        results mapped back to original ids — the full set must equal
+        the standard BM25 oracle (id permutation cannot change it)."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_sorted_index(spark, sf_dir))
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64)
+        mapping = r._read_turns().select("doc_id", "orig_id")
+        return (res.join(F.broadcast(mapping), "doc_id")
+                .select(F.col("orig_id").alias("doc_id"),
+                        F.round(F.col("score"), 4).alias("score")))
+    out["ft_sorted_search"] = ft_sorted_search
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -399,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
     out["ft_merged_search"] = bm25_search_sql('"scan merge" table', k=None)
     out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
                                          ngram_max=3)
+    out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
     from cuely_spark.oracle_sql import base_ctes
     out["ft_top_key_phrases"] = f"""
 WITH {base_ctes()},

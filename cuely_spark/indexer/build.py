@@ -87,6 +87,7 @@ def _write_sorted_turns(
     order_cols: tuple[str, ...],
     num_segments: int,
     out_path: str,
+    score_col: str | None = None,
 ) -> None:
     """Stage A, single pass, 100% JVM-side: range-partition + sort by
     (order_cols), tag each row with its segment (range partition id) and
@@ -101,9 +102,11 @@ def _write_sorted_turns(
     (:func:`segment_offsets`) — fully deterministic, no persist/replay
     hazards, resumable for free.
     """
+    sort_exprs = ([F.col(score_col).desc()] if score_col else []) \
+        + [F.col(c) for c in order_cols]
     part = (
-        df.repartitionByRange(num_segments, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(num_segments, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("segment_id", F.spark_partition_id())
         .withColumn(
@@ -208,6 +211,7 @@ def build_index(
     attr_cols: tuple[str, ...] = (),
     ngram_max: int = 0,
     stem: bool = False,
+    score_col: str | None = None,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -215,10 +219,21 @@ def build_index(
     directly, segments = ranges of that id); otherwise ids are assigned
     as the dense rank of `order_cols`.
 
+    `score_col`: "index sort" by precomputed score — doc ids are
+    assigned in DESCENDING `score_col` order (order_cols break ties), so
+    low doc ids are the best documents and doc-order early termination
+    (ShortCircuit / rising WAND thresholds) inspects the best docs first
+    (reference: segments sorted by PreComputedScore,
+    crates/core/src/inverted_index/mod.rs:195-209). Mutually exclusive
+    with doc_id_col; keep the original id in a data column and restore
+    it from the row store after search.
+
     `attr_cols`: low-cardinality string columns indexed as unscored
     `field:value` filter terms (queryable as `role:user` — the
     site:/intitle: analog).
     """
+    assert not (doc_id_col and score_col), \
+        "score-sorted ids and user-supplied ids are mutually exclusive"
     paths = IndexPaths(out_path)
     fsio.makedirs(paths.manifest_dir)
     t0 = time.time()
@@ -258,7 +273,8 @@ def build_index(
             if n is None:
                 _, n = segment_offsets(paths.turns)
         else:
-            _write_sorted_turns(df, order_cols, num_segments, paths.turns)
+            _write_sorted_turns(df, order_cols, num_segments, paths.turns,
+                                score_col=score_col)
             offsets, n = segment_offsets(paths.turns)
         _mark("stage_a_write_turns")
         stage_a = {
@@ -359,6 +375,7 @@ def build_index(
         "store_positions": store_positions,
         "ngram_max": ngram_max,
         "stemmed": stem,
+        "score_sorted_by": score_col,
         "built_sec": time.time() - t0,
         "phase_sec": phase_sec,
         # doc_id = segment_offsets[segment_id] + __ord when the turns

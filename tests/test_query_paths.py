@@ -183,3 +183,31 @@ def test_stemmed_recall_and_scores(spark, tmp_path_factory):
     off = r.search("running", k=10, dtype=np.float64,
                    stemmed=False).collect()
     assert {row["doc_id"] for row in off} == {0}
+
+
+def test_score_sorted_index_shortcircuit(spark, tmp_path_factory):
+    """Index sort by a precomputed score: with a ShortCircuit cap, the
+    candidates inspected first (lowest doc ids) are the BEST documents,
+    so the cap returns the top-quality matches instead of arbitrary
+    low-id ones (reference: PreComputedScore-sorted segments)."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rng = np.random.default_rng(9)
+    quality = rng.permutation(100)
+    rows = [(int(i), f"common filler w{i % 7}", int(quality[i]))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "orig_id long, text string, q long")
+    out = str(tmp_path_factory.mktemp("sorted_idx"))
+    build_index(spark, df, out, order_cols=("orig_id",), score_col="q",
+                rows_per_segment=1000)
+    r = IndexReader(spark, out)
+    res = r.search("common", k=100, dtype=np.float64,
+                   max_docs_per_segment=10, with_meta=True).collect()
+    got_orig = {row["orig_id"] for row in res}
+    # every doc matches "common"; the cap must have inspected exactly
+    # the 10 highest-q docs (= internal ids 0..9)
+    top_q = set(np.argsort(-quality, kind="stable")[:10].tolist())
+    assert got_orig == top_q
