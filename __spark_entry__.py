@@ -257,6 +257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ft_batch_queries"] = ft_batch
     for name, q in FT_COUNTS.items():
         out[name] = _ft_count(q)
+
+    def ft_count_approx(spark, sf_dir):
+        """Hybrid cap-then-estimate count: cap 50 forces the approximate
+        branch (full count is 272 > 50 at sf0.01)."""
+        r = _reader(spark, sf_dir)
+        n, exact = r.approx_count_hybrid("merge table",
+                                         max_docs_per_segment=50)
+        return spark.createDataFrame([(n, exact)], "n long, exact boolean")
+    out["ft_count_approx"] = ft_count_approx
     out["ft_term_stats"] = _ft_term_stats
     out["ft_doc_stats"] = _ft_doc_stats
 
@@ -401,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
     from cuely_spark.oracle_sql import (
+        base_ctes,
         bm25_search_sql,
         count_sql,
         doc_stats_sql,
@@ -426,6 +436,30 @@ def oracle_sql() -> dict[str, str]:
                         ("b_not", "merge -window")])
     for name, q in FT_COUNTS.items():
         out[name] = count_sql(q)
+    # single segment at gate scale: capped segment contributes
+    # max(cap, df_merge*df_table // N) with exact integer division
+    out["ft_count_approx"] = f"""
+WITH {base_ctes()},
+fullc AS (
+  SELECT count(*) AS c FROM dlq cand
+  WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = cand.doc_id
+                AND tok.term = 'merge')
+    AND EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = cand.doc_id
+                AND tok.term = 'table')
+),
+d AS (
+  SELECT
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'merge')
+      ::BIGINT AS dm,
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'table')
+      ::BIGINT AS dt,
+    (SELECT n FROM stats)::BIGINT AS nd
+)
+SELECT CASE WHEN fullc.c >= 50
+            THEN greatest(50, (d.dm * d.dt) // d.nd)
+            ELSE fullc.c END::BIGINT AS n,
+       (fullc.c < 50) AS exact
+FROM fullc, d"""
     out["ft_term_stats"] = term_stats_sql()
     out["ft_doc_stats"] = doc_stats_sql()
     out["ft_get_doc"] = ("SELECT doc_id, text, lang, source, n_chars "

@@ -524,3 +524,77 @@ class IndexReader:
             for t in c.tokens:
                 est *= dfs[t] / self.num_docs
         return int(round(est))
+
+    def approx_count_hybrid(self, query: str | ParsedQuery,
+                            max_docs_per_segment: int = 250_000):
+        """Cap-then-estimate count (the reference ApproxCount collector,
+        crates/core/src/collector/approx_count.rs:104-211): each segment
+        counts exactly until the ShortCircuit cap; a capped segment
+        reports max(cap, per-segment term-independence estimate), where
+        the estimate is the exact rational prod(df_i) / num_docs^(k-1)
+        truncated to integer (BigRational semantics — integer math here
+        too). Returns (count, exact) — exact iff no segment was capped.
+        """
+        from pyspark.sql import functions as F
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        dfs = self.term_dfs(pq.all_terms())
+        required = [c.tokens for c in pq.positive]
+        if any(dfs[t] == 0 for toks in required for t in toks):
+            return 0, True
+        dtype = np.float32
+        weights = self._weights(pq, dfs, dtype)
+        pos_terms = [t for c in pq.positive for t in c.tokens]
+        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        postings = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("term").isin(pq.all_terms()))
+            .select(*cols)
+        )
+
+        def run_segment(pdf):
+            import pandas as pd
+
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"segment_id": [], "n": [], "df_prod": []})
+            seg = int(pdf["segment_id"].iloc[0])
+            by_term = {t: _build_term_postings(g)
+                       for t, g in pdf.groupby("term")}
+            specs, negs = _make_specs(pq, weights, by_term, dtype)
+            n = count_matches(specs, negs)
+            # exact integer product of per-segment dfs (string-encoded:
+            # arbitrary precision survives the long column)
+            prod = 1
+            for t in pos_terms:
+                tp = by_term.get(t)
+                prod *= int(tp.doc_count) if tp is not None else 0
+            return pd.DataFrame({"segment_id": [seg], "n": [n],
+                                 "df_prod": [str(prod)]})
+
+        rows = (postings.groupBy("segment_id")
+                .applyInPandas(
+                    run_segment,
+                    schema="segment_id long, n long, df_prod string")
+                .collect())
+        # per-segment doc counts for the independence estimate
+        g = (self.spark.read.option("basePath",
+                                    os.path.join(self.path, "index"))
+             .parquet(os.path.join(self.path, "index", "kind=g"))
+             .select("segment_id", "num_docs").collect())
+        seg_docs = {int(r["segment_id"]): int(r["num_docs"]) for r in g}
+        total, exact = 0, True
+        k_terms = len(pos_terms)
+        for r in rows:
+            n = int(r["n"])
+            if n < max_docs_per_segment:
+                total += n
+                continue
+            exact = False
+            nd = seg_docs.get(int(r["segment_id"]), 0)
+            est = (int(r["df_prod"]) // (nd ** (k_terms - 1))
+                   if nd and k_terms > 1 else int(r["df_prod"]))
+            # exact_count under ShortCircuit == the cap; take the larger
+            total += max(max_docs_per_segment, est)
+        return total, exact

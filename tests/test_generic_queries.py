@@ -46,3 +46,24 @@ def test_top_key_phrases(reader, oracle_small):
         exp.append((term, round(ttf * idf, 4)))
     exp.sort(key=lambda x: (-x[1], x[0]))
     assert [(r["term"], r["score"]) for r in rows] == exp[:10]
+
+
+def test_approx_count_hybrid_branches(spark, transcripts_small,
+                                      tmp_path_factory):
+    """Uncapped segments report exact counts; a capped segment reports
+    max(cap, independence estimate), and any cap taints exactness."""
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    df = spark.createDataFrame(
+        transcripts_small.drop(columns=["expected_doc_id"]).head(900))
+    out = str(tmp_path_factory.mktemp("approx_idx"))
+    build_index(spark, df, out, rows_per_segment=300)  # 3 segments
+    r = IndexReader(spark, out)
+    exact_n = r.count("the test")
+    n1, ex1 = r.approx_count_hybrid("the test",
+                                    max_docs_per_segment=10**9)
+    assert (n1, ex1) == (exact_n, True)
+    n2, ex2 = r.approx_count_hybrid("the test", max_docs_per_segment=1)
+    assert ex2 is False and n2 >= 3  # every segment capped at >=1
+    assert r.approx_count_hybrid("zzzmissing")[0] == 0
