@@ -66,20 +66,21 @@ def extract_image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                img = _decode_image_stub(bytes(row["payload"]),
-                                         int(row["width"]),
-                                         int(row["height"]))
+            # zip over column arrays, not iterrows(): the per-ROW decode
+            # call is inherent to opaque binary payloads, but pandas
+            # row-object construction is not
+            for mid, payload, w, h in zip(
+                    pdf["media_id"], pdf["payload"],
+                    pdf["width"], pdf["height"]):
+                img = _decode_image_stub(bytes(payload), int(w), int(h))
                 # nearest-neighbor "resize" to resize_to x resize_to
                 ys = np.linspace(0, img.shape[0] - 1, resize_to).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, resize_to).astype(int)
                 thumb = img[np.ix_(ys, xs)]
+                means = img.reshape(-1, 3).mean(axis=0)
                 out.append((
-                    int(row["media_id"]),
-                    float(img[:, :, 0].mean()),
-                    float(img[:, :, 1].mean()),
-                    float(img[:, :, 2].mean()),
-                    bytearray(thumb.tobytes()),
+                    int(mid), float(means[0]), float(means[1]),
+                    float(means[2]), bytearray(thumb.tobytes()),
                 ))
             yield pd.DataFrame(
                 out, columns=["media_id", "mean_r", "mean_g", "mean_b",
@@ -114,19 +115,24 @@ def audio_chunk_stats(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                seed = int(hashlib.md5(bytes(row["payload"]))
-                           .hexdigest()[:8], 16)
+            mids, chunks, rmss = [], [], []
+            for mid, payload, sr in zip(pdf["media_id"], pdf["payload"],
+                                        pdf["sample_rate"]):
+                seed = int(hashlib.md5(bytes(payload)).hexdigest()[:8], 16)
                 rng = np.random.default_rng(seed)
-                sr = int(row["sample_rate"])
+                sr = int(sr)
                 samples = rng.normal(size=sr)  # 1 fake second
                 step = sr * chunk_ms // 1000
-                for ci, s in enumerate(range(0, len(samples), step)):
-                    chunk = samples[s:s + step]
-                    out.append((int(row["media_id"]), ci,
-                                float(np.sqrt((chunk ** 2).mean()))))
-            yield pd.DataFrame(out, columns=["media_id", "chunk_idx", "rms"])
+                # vectorized per-chunk RMS: reduceat over squared samples
+                starts = np.arange(0, samples.size, step)
+                sums = np.add.reduceat(samples ** 2, starts)
+                lens = np.diff(np.append(starts, samples.size))
+                rms = np.sqrt(sums / lens)
+                mids.extend([int(mid)] * rms.size)
+                chunks.extend(range(rms.size))
+                rmss.extend(rms.tolist())
+            yield pd.DataFrame({"media_id": mids, "chunk_idx": chunks,
+                                "rms": rmss})
 
     return (
         media.filter(F.col("kind") == "audio")
