@@ -70,13 +70,19 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
                       extra=extra)
 
     # ---- 1. transcripts index build throughput (datagen off the clock)
-    df = transcripts_df(spark, n_turns, seed=42, partitions=cores * 2)
+    # fixed input layout: every scaling config must read the IDENTICAL
+    # files (partitions varying with cores would change scan parallelism
+    # and the range-sampler's work between configs)
+    df = transcripts_df(spark, n_turns, seed=42, partitions=64)
     df.write.mode("overwrite").parquet(f"{workdir}/transcripts")
     src = spark.read.parquet(f"{workdir}/transcripts")
     # warmup build: pays JVM JIT + python-worker spawn + codegen once
     # (a real ingest job runs for hours; first-stage warmup is noise);
-    # the measured build is steady-state
-    nseg = max(cores * 2, n_turns // 150_000)
+    # the measured build is steady-state.
+    # nseg must NOT depend on cores: scaling configs have to run the
+    # IDENTICAL job (same segmentation = same work), or wider configs
+    # pay for finer segmentation and the efficiency ratio is meaningless
+    nseg = max(64, n_turns // 150_000)
     build_index(spark, src, f"{workdir}/tindex", num_segments=nseg,
                 num_jobs=1)
     t0 = time.time()
@@ -151,8 +157,10 @@ def run_scaling(sf_dir: str, n_turns: int, reps: int = 2) -> None:
     comparison at this scale)."""
     import subprocess
 
+    # large enough that fixed per-job costs (range sampler, manifests,
+    # term-stats tail) are <5% of the narrowest config's wall time
     n_turns = int(os.environ.get("CUELY_SCALING_TURNS",
-                                 str(max(n_turns, 2_400_000))))
+                                 str(max(n_turns, 4_800_000))))
     configs = [(2, 1), (4, 1), (8, 1), (16, 1), (32, 1), (32, 2)]
     results = {}
     for rep in range(reps):
@@ -217,15 +225,17 @@ JVM JIT + python-worker spawn), best of {reps} reps per config
 
 ## Measured decomposition of the 8->32 gap
 
-1. **Oversubscription, measured (not inferred)**: local[32] with
-   spark.task.cpus=2 schedules only 16 concurrent tasks (32 runnable
-   threads — no oversubscription) on the same 32-core session:
-   {thr32t2} turns/sec vs {thr32} at task.cpus=1 and {thr16} at
-   local[16].
-2. **Hardware ceiling**: identical pure-Python per-process work at
-   8 vs 32 processes (no Spark, no I/O — `scripts/cpu_ceiling.py`)
-   gives per-proc seconds {ceiling['per_proc_sec']} -> an 8->32
-   ceiling of {hw_eff:.3f} (all-core turbo / shared memory bandwidth /
+1. **Oversubscription, measured (not inferred)**: removing it at width
+   32 (spark.task.cpus=2 -> 16 concurrent tasks, 32 runnable threads)
+   recovers {thr32t2} turns/sec vs {thr32} at task.cpus=1 — a modest
+   gain — while plain local[16] reaches {thr16}. So scheduler-level
+   oversubscription is a minor component; the dominant one is the box
+   itself saturating beyond ~16 active cores.
+2. **Hardware ceiling (the Spark-free measurement of the same
+   saturation)**: identical pure-Python per-process work at 8 vs 32
+   processes (no Spark, no I/O — `scripts/cpu_ceiling.py`) gives
+   per-proc seconds {ceiling['per_proc_sec']} -> an 8->32 ceiling of
+   {hw_eff:.3f} (all-core turbo / shared memory bandwidth /
    hypervisor). Engine 8->32 normalized to it: {eff832 / hw_eff:.3f}.
 
 On a real cluster N->4N adds whole nodes (own cores, memory bandwidth,
