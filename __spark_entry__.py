@@ -338,6 +338,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("score"), 4).alias("score")))
     out["ft_sorted_search"] = ft_sorted_search
 
+    def ft_snippets(spark, sf_dir):
+        """Snippets for the top-10: idf-weighted best window with
+        highlighting (post-retrieval path: <= k rows)."""
+        import numpy as np
+
+        from cuely_spark.queryengine.snippet import with_snippets
+
+        r = _reader(spark, sf_dir)
+        res = r.search("merge table", k=10, dtype=np.float64)
+        turns = spark.read.parquet(r._turns_path).select("doc_id", "text")
+        res_t = res.join(turns, "doc_id")
+        return (with_snippets(res_t, r, "merge table")
+                .select("doc_id", "snippet"))
+    out["ft_snippets"] = ft_snippets
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -469,6 +484,8 @@ FROM fullc, d"""
     out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
                                          ngram_max=3)
     out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
+    from cuely_spark.oracle_sql import snippet_sql
+    out["ft_snippets"] = snippet_sql("merge table", k=10)
     from cuely_spark.oracle_sql import base_ctes
     out["ft_top_key_phrases"] = f"""
 WITH {base_ctes()},

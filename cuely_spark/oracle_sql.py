@@ -541,3 +541,81 @@ SELECT * FROM (
   JOIN embeddings ea ON ea.vec_id = c.id_a
   JOIN embeddings eb ON eb.vec_id = c.id_b
 ) WHERE cosine >= {threshold}"""
+
+
+def snippet_sql(query: str, k: int = 10, window: int = 24,
+                max_chars: int = 200, table: str = "documents",
+                text_col: str = "text", id_col: str = "doc_id") -> str:
+    """(doc_id, snippet) for the query's top-k — replicates
+    queryengine/snippet.make_snippet: sliding token window of
+    min(window, n) scored as sum over sorted query terms of
+    idf_t * (exact integer in-window count of t); earliest max wins;
+    matches wrapped in <b></b>; truncation at max_chars + 7*matches;
+    ellipsis affixes. Integer prefix counts keep window sums float-exact
+    on both engines, so tie-breaks agree."""
+    pq = parse_query(query)
+    qterms = sorted({t for c in pq.positive for t in c.tokens
+                     if c.kind != "filter"})
+    terms_in = ", ".join(_q(t) for t in qterms)
+    inner = bm25_search_sql(query, k=k, table=table, text_col=text_col,
+                            id_col=id_col)
+    cnt_cols = ",\n    ".join(
+        f"sum(CASE WHEN term = {_q(t)} THEN 1 ELSE 0 END) "
+        f"OVER (PARTITION BY doc_id ORDER BY pos) AS c{i}"
+        for i, t in enumerate(qterms))
+    idf = lambda t: (f"(SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+                     f"FROM qdfs d, stats s WHERE d.term = {_q(t)})")
+    score = " + ".join(
+        f"{idf(t)} * (b.c{i} - coalesce(pr.c{i}, 0))"
+        for i, t in enumerate(qterms))
+    return f"""
+WITH top AS (SELECT doc_id FROM ({inner}) ranked),
+{base_ctes(table, text_col, id_col)},
+qdfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+),
+ind AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM tok t JOIN top USING (doc_id)
+),
+params AS (
+  SELECT doc_id, least({window}, count(*)) AS w, count(*) AS n
+  FROM ind GROUP BY doc_id
+),
+ccs AS (
+  SELECT doc_id, pos,
+    {cnt_cols}
+  FROM ind
+),
+sums AS (
+  SELECT a.doc_id, a.pos AS start, {score} AS s
+  FROM ccs a
+  JOIN params p ON p.doc_id = a.doc_id
+  JOIN ccs b ON b.doc_id = a.doc_id AND b.pos = a.pos + p.w - 1
+  LEFT JOIN ccs pr ON pr.doc_id = a.doc_id AND pr.pos = a.pos - 1
+),
+best AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, start ASC) AS rn
+    FROM sums) WHERE rn = 1
+),
+snip AS (
+  SELECT i.doc_id,
+         string_agg(CASE WHEN i.term IN ({terms_in})
+                         THEN '<b>' || i.term || '</b>'
+                         ELSE i.term END, ' ' ORDER BY i.pos) AS body,
+         count(*) FILTER (WHERE i.term IN ({terms_in})) AS matches,
+         b.start, p.w AS wlen, p.n AS n
+  FROM ind i JOIN best b USING (doc_id) JOIN params p USING (doc_id)
+  WHERE i.pos >= b.start AND i.pos < b.start + p.w
+  GROUP BY i.doc_id, b.start, p.w, p.n
+)
+SELECT doc_id,
+       (CASE WHEN start > 0 THEN '… ' ELSE '' END)
+       || (CASE WHEN length(body) > {max_chars} + 7 * matches
+                THEN substr(body, 1, {max_chars}) || '…' ELSE body END)
+       || (CASE WHEN start + wlen < n THEN ' …' ELSE '' END) AS snippet
+FROM snip"""

@@ -28,16 +28,22 @@ def make_snippet(text: str, query: str | ParsedQuery,
     toks = tokenize(text)
     if not toks or not qterms:
         return text[:max_chars]
-    weights = np.array(
-        [(idf_by_term or {}).get(t, 1.0) if t in qterms else 0.0
-         for t in toks], dtype=np.float64)
-    if not weights.any():
+    tok_arr = np.asarray(toks, dtype=object)
+    if not any(t in qterms for t in toks):
         return text[:max_chars]
     n = len(toks)
     w = min(window, n)
-    # sliding-window sum via cumsum; earliest max wins
-    cs = np.concatenate([[0.0], np.cumsum(weights)])
-    sums = cs[w:] - cs[:-w]
+    # window score = sum over query terms (sorted order) of
+    # idf_t * (exact integer count of t in the window). Integer prefix
+    # counts keep window sums float-exact, so argmax ties resolve
+    # identically in any engine (np.cumsum vs SQL segment-tree window
+    # sums disagree in the last ulp otherwise); earliest max wins.
+    sums = np.zeros(n - w + 1, dtype=np.float64)
+    for t in sorted(qterms):
+        idf = float((idf_by_term or {}).get(t, 1.0))
+        cnt = np.concatenate(
+            [[0], np.cumsum((tok_arr == t).astype(np.int64))])
+        sums += idf * (cnt[w:] - cnt[:-w]).astype(np.float64)
     start = int(np.argmax(sums))
     chosen = toks[start:start + w]
     out = []
