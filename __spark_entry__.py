@@ -379,6 +379,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_topk"] = (
         lambda s, d: similarity.knn_bruteforce_pandas(
             _emb(s, d), _query_vec(s, d), k=10))
+    # persisted ANN indexes: bucket/cell-partitioned layout so probes
+    # become partition pruning; same deterministic models as the
+    # on-the-fly ops, hence the same oracles
+    from cuely_spark.ops import ann_index
+
+    def _ann_root(sf_dir, kind):
+        key = hashlib.md5(
+            f"ann-{kind}-v1|{os.path.abspath(sf_dir)}".encode()
+        ).hexdigest()[:12]
+        return os.path.join(_INDEX_ROOT, key)
+
+    def knn_lsh_indexed(spark, sf_dir):
+        root = _ann_root(sf_dir, "lsh")
+        if not os.path.exists(os.path.join(root, "meta.json")):
+            ann_index.build_lsh_index(_emb(spark, sf_dir), root, nbits=6)
+        return ann_index.lsh_index_search(spark, root,
+                                          _query_vec(spark, sf_dir), k=10)
+    out["knn_lsh_indexed"] = knn_lsh_indexed
+
+    def knn_ivf_indexed(spark, sf_dir):
+        root = _ann_root(sf_dir, "ivf")
+        if not os.path.exists(os.path.join(root, "meta.json")):
+            ann_index.build_ivf_index(_emb(spark, sf_dir), root,
+                                      ncells=8, iters=5)
+        return ann_index.ivf_index_search(spark, root,
+                                          _query_vec(spark, sf_dir),
+                                          k=10, nprobe=3)
+    out["knn_ivf_indexed"] = knn_ivf_indexed
+
     out["knn_lsh"] = (
         lambda s, d: similarity.lsh_knn(_emb(s, d), _query_vec(s, d),
                                         k=10, nbits=6))
@@ -629,6 +658,10 @@ FROM embeddings e,
     from cuely_spark.oracle_sql import ivf_knn_sql, lsh_knn_sql
     out["knn_lsh"] = lsh_knn_sql(dim=64, nbits=6, k=10)
     out["knn_ivf"] = ivf_knn_sql(dim=64, ncells=8, nprobe=3, iters=5, k=10)
+    # persisted-index paths return identical results to the on-the-fly
+    # ops (same seed/centroid determinism) -> same oracles
+    out["knn_lsh_indexed"] = out["knn_lsh"]
+    out["knn_ivf_indexed"] = out["knn_ivf"]
 
     out["text_token_stats"] = """
 SELECT doc_id, len(t)::INT AS n_tokens, length(text)::INT AS n_chars,

@@ -224,3 +224,36 @@ def test_simhash_near_dup_pairs_exact_vs_bruteforce(spark, docs_df):
                 exp[(a, b)] = hd
     assert got == exp
     assert (0, 1) in got and got[(0, 1)] == 0  # exact dup -> hamming 0
+
+
+def test_persisted_ann_indexes_match_onthefly(spark, emb_df, tmp_path):
+    """Persisted LSH/IVF indexes return exactly the on-the-fly results
+    (same deterministic models), and a probe reads only the probed
+    partitions (partition pruning on the bucket/cell directory)."""
+    from cuely_spark.ops import ann_index, similarity
+
+    qv = [float(x) for x in
+          emb_df.filter("vec_id = 0").first()["embedding"]]
+    lsh_root = str(tmp_path / "lsh_idx")
+    ann_index.build_lsh_index(emb_df, lsh_root, nbits=6)
+    got = ann_index.lsh_index_search(spark, lsh_root, qv, k=5).collect()
+    exp = similarity.lsh_knn(emb_df, qv, k=5, nbits=6).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+        [(r["vec_id"], r["cosine"]) for r in exp]
+    # pruning: probed files strictly fewer than the index's files
+    import os
+    all_files = sum(len(files) for _, _, files in
+                    os.walk(os.path.join(lsh_root, "vectors"))
+                    if any(f.endswith(".parquet") for f in files))
+    probed = ann_index.lsh_index_search(spark, lsh_root, qv, k=5)
+    touched = len(probed.inputFiles())
+    assert 0 < touched < all_files
+
+    ivf_root = str(tmp_path / "ivf_idx")
+    ann_index.build_ivf_index(emb_df, ivf_root, ncells=4, iters=5)
+    got = ann_index.ivf_index_search(spark, ivf_root, qv, k=5,
+                                     nprobe=2).collect()
+    exp = similarity.ivf_knn(emb_df, qv, k=5, ncells=4, nprobe=2,
+                             iters=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+        [(r["vec_id"], r["cosine"]) for r in exp]
