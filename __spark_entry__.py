@@ -353,6 +353,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "snippet"))
     out["ft_snippets"] = ft_snippets
 
+    def ft_blend(spark, sf_dir):
+        """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
+        signal, full result set (the reference's linear signal blend)."""
+        import numpy as np
+
+        from cuely_spark.queryengine.blend import blend_signals
+
+        r = _reader(spark, sf_dir)
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64)
+        sig = _docs(spark, sf_dir).select(
+            "doc_id",
+            (F.col("n_chars") / F.lit(1000.0)).alias("len_signal"))
+        return blend_signals(res, sig, {"len_signal": 0.3})
+    out["ft_blend"] = ft_blend
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -515,6 +530,11 @@ FROM fullc, d"""
     out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
     from cuely_spark.oracle_sql import snippet_sql
     out["ft_snippets"] = snippet_sql("merge table", k=10)
+    out["ft_blend"] = f"""
+SELECT b.doc_id,
+       round(b.score * 1.0 + 0.3 * (d.n_chars / 1000.0), 4) AS score
+FROM ({bm25_search_sql("merge table", k=None)}) b
+JOIN documents d ON d.doc_id = b.doc_id"""
     from cuely_spark.oracle_sql import base_ctes
     out["ft_top_key_phrases"] = f"""
 WITH {base_ctes()},
