@@ -154,6 +154,47 @@ class IndexReader:
             found = {r["term"]: int(r["df"]) for r in rows}
         return {t: found.get(t, 0) for t in terms}
 
+    def _plan_alternatives(self, pq: ParsedQuery,
+                           compound_terms: bool | None = None,
+                           stemmed: bool | None = None,
+                           occur: str = "must"):
+        """(compounds, c_terms): clause-index -> alternative shadow terms
+        (bigram/trigram compounds per plan/mod.rs sliding windows, plus
+        the "s:"+porter_stem shadow when the index is stemmed)."""
+        ngram_max = int(self.stats.get("ngram_max", 0) or 0)
+        use_compounds = (compound_terms if compound_terms is not None
+                         else ngram_max >= 2)
+        compounds = (compound_alternatives(pq, ngram_max)
+                     if use_compounds and occur != "should" else {})
+        use_stem = (stemmed if stemmed is not None
+                    else bool(self.stats.get("stemmed")))
+        if use_stem and occur != "should":
+            from ..stemmer import porter_stem
+
+            for i, c in enumerate(pq.clauses):
+                if c.kind == "term":
+                    compounds.setdefault(i, []).append(
+                        "s:" + porter_stem(c.tokens[0]))
+        c_terms = [t for alts in compounds.values() for t in alts]
+        return compounds, c_terms
+
+    @staticmethod
+    def _dead_clause(pq: ParsedQuery, compounds: dict,
+                     dfs: dict[str, int]) -> bool:
+        """True when some required clause has no live member anywhere
+        (a term clause with alternatives is live if ANY member has
+        df > 0)."""
+        pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
+        for j, c in enumerate(pq.positive):
+            alts = compounds.get(pos_idx[j], [])
+            if c.kind == "term" and alts:
+                if (dfs[c.tokens[0]] == 0
+                        and all(dfs[a] == 0 for a in alts)):
+                    return True
+            elif any(dfs[t] == 0 for t in c.tokens):
+                return True
+        return False
+
     def _weights(self, pq: ParsedQuery, dfs: dict[str, int], dtype):
         weights: dict = {}
         for t in pq.all_terms():
@@ -217,21 +258,8 @@ class IndexReader:
                 raise ValueError(
                     "negations belong in the must query, not in should")
         s_terms = spq.all_terms() if spq is not None else []
-        ngram_max = int(self.stats.get("ngram_max", 0) or 0)
-        use_compounds = (compound_terms if compound_terms is not None
-                         else ngram_max >= 2)
-        compounds = (compound_alternatives(pq, ngram_max)
-                     if use_compounds and occur != "should" else {})
-        use_stem = (stemmed if stemmed is not None
-                    else bool(self.stats.get("stemmed")))
-        if use_stem and occur != "should":
-            from ..stemmer import porter_stem
-
-            for i, c in enumerate(pq.clauses):
-                if c.kind == "term":
-                    compounds.setdefault(i, []).append(
-                        "s:" + porter_stem(c.tokens[0]))
-        c_terms = [t for alts in compounds.values() for t in alts]
+        compounds, c_terms = self._plan_alternatives(
+            pq, compound_terms, stemmed, occur)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms)))
         if occur == "should":
@@ -240,20 +268,8 @@ class IndexReader:
                     "occur='should' supports plain term clauses only")
             if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
                 return self._empty_result()
-        else:
-            # a required clause with no live member anywhere -> empty;
-            # a term clause with compound alternatives is live if the
-            # term OR any alternative has df > 0
-            pos_idx = [i for i, c in enumerate(pq.clauses)
-                       if c.kind != "not"]
-            for j, c in enumerate(pq.positive):
-                alts = compounds.get(pos_idx[j], [])
-                if c.kind == "term" and alts:
-                    if (dfs[c.tokens[0]] == 0
-                            and all(dfs[a] == 0 for a in alts)):
-                        return self._empty_result()
-                elif any(dfs[t] == 0 for t in c.tokens):
-                    return self._empty_result()
+        elif self._dead_clause(pq, compounds, dfs):
+            return self._empty_result()
         weights = self._weights(pq, dfs, dtype)
         if spq is not None:
             weights.update(self._weights(spq, dfs, dtype))
@@ -364,6 +380,8 @@ class IndexReader:
         Amortizes the per-job overhead that dominates single-query
         latency in local mode (the analog of the reference's
         shard-parallel query fan-out, but across the query set).
+        Note: compound/stemmed augmentation and should/offset are not
+        applied in batch mode — plain Must semantics per query.
 
         Returns DataFrame (query, rank, doc_id, score).
         """
@@ -440,26 +458,37 @@ class IndexReader:
                 np.array([r["score"] for r in rows], dtype=dtype))
 
     # ------------------------------------------------------------------
-    def count(self, query: str | ParsedQuery) -> int:
-        """Exact match count (reference Count collector)."""
+    def count(self, query: str | ParsedQuery,
+              compound_terms: bool | None = None,
+              stemmed: bool | None = None) -> int:
+        """Exact match count (reference Count collector). Applies the
+        same compound/stemmed augmentation defaults as search(), so
+        count(q) == number of rows search(q, k=num_docs) returns."""
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
-        dfs = self.term_dfs(pq.all_terms())
-        required = [c.tokens for c in pq.positive]
-        if any(dfs[t] == 0 for toks in required for t in toks):
+        compounds, c_terms = self._plan_alternatives(
+            pq, compound_terms, stemmed)
+        dfs = self.term_dfs(list(dict.fromkeys(
+            pq.all_terms() + c_terms)))
+        if self._dead_clause(pq, compounds, dfs):
             return 0
-        # fast path: single positive term, no negation -> df from stats
+        # fast path: single positive term, no negation/alternatives ->
+        # df straight from stats
         if (len(pq.positive) == 1 and pq.positive[0].kind == "term"
-                and not pq.negative):
+                and not pq.negative and not compounds):
             return dfs[pq.positive[0].tokens[0]]
         dtype = np.float32
         weights = self._weights(pq, dfs, dtype)
+        for t in c_terms:
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self.avg_fieldnorm, dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         postings = (
             self.spark.read.parquet(self._postings_path)
-            .filter(F.col("term").isin(pq.all_terms()))
+            .filter(F.col("term").isin(
+                list(dict.fromkeys(pq.all_terms() + c_terms))))
             .select(*cols)
         )
 
@@ -470,7 +499,8 @@ class IndexReader:
                 return pd.DataFrame({"n": []})
             by_term = {t: _build_term_postings(g)
                        for t, g in pdf.groupby("term")}
-            specs, negs = _make_specs(pq, weights, by_term, dtype)
+            specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                      compounds=compounds)
             return pd.DataFrame({"n": [count_matches(specs, negs)]})
 
         rows = (postings.groupBy("segment_id")
@@ -534,6 +564,9 @@ class IndexReader:
         the estimate is the exact rational prod(df_i) / num_docs^(k-1)
         truncated to integer (BigRational semantics — integer math here
         too). Returns (count, exact) — exact iff no segment was capped.
+        Estimator semantics use the plain query terms (no compound /
+        stemmed augmentation — the reference estimates from raw term
+        dfs); use count() for augmented exact counts.
         """
         from pyspark.sql import functions as F
 

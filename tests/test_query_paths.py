@@ -211,3 +211,33 @@ def test_score_sorted_index_shortcircuit(spark, tmp_path_factory):
     # the 10 highest-q docs (= internal ids 0..9)
     top_q = set(np.argsort(-quality, kind="stable")[:10].tolist())
     assert got_orig == top_q
+
+
+def test_count_consistent_with_search_on_augmented_index(
+        spark, tmp_path_factory):
+    """count(q) equals the number of rows search(q, k=all) returns on
+    ngram and stemmed indexes (augmentation applied consistently)."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rows = [(0, "i love new york in the summer"),
+            (1, "newyork"),
+            (2, "york is a city in england"),
+            (3, "running shoes for sale"),
+            (4, "he runs daily"),
+            (5, "unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("aug_idx"))
+    build_index(spark, df, out, doc_id_col="doc_id", ngram_max=3,
+                stem=True)
+    r = IndexReader(spark, out)
+    for q in ["new york", "running", "york"]:
+        n_search = r.search(q, k=r.num_docs, dtype=np.float64).count()
+        assert r.count(q) == n_search, q
+    # explicit opt-out stays consistent too
+    n_plain = r.search("new york", k=r.num_docs, dtype=np.float64,
+                       compound_terms=False, stemmed=False).count()
+    assert r.count("new york", compound_terms=False,
+                   stemmed=False) == n_plain
