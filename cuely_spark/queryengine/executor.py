@@ -107,6 +107,17 @@ class IndexReader:
         # stage-A-written turns carry (__ord, segment_id); doc_id is
         # offset[segment] + __ord (offsets recorded at build time)
         self._offsets = self.stats.get("segment_offsets")
+        self._postings_df = None
+
+    @property
+    def postings_df(self):
+        """Lazy, cached postings DataFrame: parquet schema inference
+        costs ~100 ms per spark.read call — pay it once per reader, not
+        once per query."""
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                self._postings_path)
+        return self._postings_df
 
     def _read_turns(self):
         """Row store with a doc_id column, whatever the id mode."""
@@ -283,11 +294,9 @@ class IndexReader:
         terms = list(dict.fromkeys(pq.all_terms() + s_terms + c_terms))
         seg_k = k + offset  # each segment must surface the skipped page
 
-        postings = (
-            self.spark.read.parquet(self._postings_path)
-            .filter(F.col("term").isin(terms))
-            .select(*cols)
-        )
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(terms))
+                    .select(*cols))
 
         def eval_segment(pdf, seg: int):
             import pandas as pd
@@ -409,11 +418,9 @@ class IndexReader:
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         live_terms = sorted({t for pq in live.values()
                              for t in pq.all_terms()})
-        postings = (
-            self.spark.read.parquet(self._postings_path)
-            .filter(F.col("term").isin(live_terms))
-            .select(*cols)
-        )
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(live_terms))
+                    .select(*cols))
 
         def run_segment(pdf):
             import pandas as pd
@@ -447,8 +454,11 @@ class IndexReader:
                 .select("query", "rank", "doc_id", "score"))
 
     def _empty_result(self):
-        return self.spark.createDataFrame(
-            [], schema="doc_id long, score double")
+        # NOT createDataFrame([], ...): that path costs ~350 ms per call
+        # (arrow/py4j setup); an empty SQL relation is ~10x cheaper
+        return self.spark.sql(
+            "SELECT CAST(NULL AS LONG) AS doc_id, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0")
 
     def search_collect(self, query, k: int = TOP_K_DEFAULT,
                        dtype=np.float32):
@@ -485,12 +495,10 @@ class IndexReader:
                                     self.avg_fieldnorm, dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        postings = (
-            self.spark.read.parquet(self._postings_path)
-            .filter(F.col("term").isin(
-                list(dict.fromkeys(pq.all_terms() + c_terms))))
-            .select(*cols)
-        )
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(
+                        list(dict.fromkeys(pq.all_terms() + c_terms))))
+                    .select(*cols))
 
         def run_segment(pdf):
             import pandas as pd
@@ -580,11 +588,9 @@ class IndexReader:
         pos_terms = [t for c in pq.positive for t in c.tokens]
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        postings = (
-            self.spark.read.parquet(self._postings_path)
-            .filter(F.col("term").isin(pq.all_terms()))
-            .select(*cols)
-        )
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(pq.all_terms()))
+                    .select(*cols))
 
         def run_segment(pdf):
             import pandas as pd
