@@ -36,9 +36,11 @@ LIVE_SEG_BASE = 100_000
 MAX_SEGMENTS_PER_BATCH = 1_000
 
 
-def refresh_stats(spark: SparkSession, root: str) -> dict:
+def refresh_stats(spark: SparkSession, root: str,
+                  extra: dict | None = None) -> dict:
     """(Re)generate term_stats + stats.json from the index rows —
-    shared by the live writer after each batch/compaction."""
+    shared by the live writer after each batch/compaction. `extra`
+    carries flags the rows cannot reconstruct (ngram_max, stemmed)."""
     paths = IndexPaths(root)
     tseg = spark.read.option("basePath", paths.index).parquet(
         os.path.join(paths.index, "kind=t"))
@@ -62,6 +64,7 @@ def refresh_stats(spark: SparkSession, root: str) -> dict:
         "store_positions": True,
         "live": True,
     }
+    stats.update(extra or {})
     fsio.write_json(paths.stats, stats)
     return stats
 
@@ -70,12 +73,15 @@ class LiveIndexWriter:
     def __init__(self, spark: SparkSession, root: str,
                  text_col: str = "text",
                  order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-                 rows_per_segment: int = 100_000):
+                 rows_per_segment: int = 100_000,
+                 ngram_max: int = 0, stem: bool = False):
         self.spark = spark
         self.paths = IndexPaths(root)
         self.text_col = text_col
         self.order_cols = list(order_cols)
         self.rows_per_segment = rows_per_segment
+        self.ngram_max = ngram_max
+        self.stem = stem
         fsio.makedirs(self.paths.manifest_dir)
         self._state_path = os.path.join(self.paths.manifest_dir,
                                         "live_state.json")
@@ -147,8 +153,10 @@ class LiveIndexWriter:
                .parquet(*[os.path.join(self.paths.turns,
                                        f"segment_id={s}") for s in segs])
                .select("doc_id", self.text_col, "segment_id"))
-        rows = src.mapInPandas(segment_kernel("doc_id", self.text_col),
-                               schema=INDEX_ROW_SCHEMA)
+        rows = src.mapInPandas(
+            segment_kernel("doc_id", self.text_col,
+                           ngram_max=self.ngram_max, stem=self.stem),
+            schema=INDEX_ROW_SCHEMA)
         (rows.write.mode("overwrite")
              .option("parquet.block.size", 2 * 1024 * 1024)
              .partitionBy("kind", "segment_id")
@@ -162,9 +170,13 @@ class LiveIndexWriter:
         fsio.write_json(self._state_path, self.state)
         if is_replay:
             # incremental stats would double-count a replayed batch
-            refresh_stats(self.spark, self.paths.root)
+            refresh_stats(self.spark, self.paths.root,
+                          self._stat_flags())
         else:
             self._incremental_stats(segs)
+
+    def _stat_flags(self) -> dict:
+        return {"ngram_max": self.ngram_max, "stemmed": self.stem}
 
     def _incremental_stats(self, batch_segs: list[int]) -> None:
         """Fold one batch's term/global stats into the index-level stats
@@ -206,6 +218,8 @@ class LiveIndexWriter:
                                   / float(stats["num_docs"]))
         stats["store_positions"] = True
         stats["live"] = True
+        stats["ngram_max"] = self.ngram_max
+        stats["stemmed"] = self.stem
         fsio.write_json(paths.stats, stats)
 
     def sink(self):
@@ -231,7 +245,8 @@ class LiveIndexWriter:
                 dropped += 1
         fsio.write_json(self._state_path, self.state)
         if dropped:
-            refresh_stats(self.spark, self.paths.root)
+            refresh_stats(self.spark, self.paths.root,
+                          self._stat_flags())
         return dropped
 
     def compact(self, out_root: str, target_segments: int = 1,

@@ -122,3 +122,73 @@ def test_wand_equals_bruteforce(postings, k):
     exp_d, exp_s = docs[order], scores[order]
     assert got_d.tolist() == exp_d.tolist()
     np.testing.assert_array_equal(got_s, exp_s)
+
+
+@st.composite
+def or_group_postings(draw):
+    """Random must clauses where some are or-groups of 1-3 members."""
+    n_docs = draw(st.integers(min_value=50, max_value=2000))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    n_clauses = draw(st.integers(min_value=1, max_value=3))
+    clauses = []
+    for _ in range(n_clauses):
+        n_members = draw(st.integers(min_value=1, max_value=3))
+        members = []
+        for _ in range(n_members):
+            df = int(rng.integers(1, n_docs + 1))
+            docs = np.sort(rng.choice(n_docs, size=df, replace=False)
+                           ).astype(np.int64)
+            tfs = rng.integers(1, 20, size=df).astype(np.int64)
+            fnids = rng.integers(0, 256, size=df).astype(np.int64)
+            members.append((docs, tfs, fnids))
+        clauses.append(members)
+    return clauses, n_docs
+
+
+@given(or_group_postings(), st.integers(min_value=1, max_value=25))
+@settings(max_examples=120, deadline=None)
+def test_or_group_conjunction_equals_bruteforce(postings, k):
+    """AND over or-groups: membership = every group matched by >=1
+    member; score = sum of ALL matching members' BM25 (f32, clause then
+    member order) — checked against a brute-force model."""
+    clauses, n_docs = postings
+    specs = []
+    weighted = []
+    for members in clauses:
+        ms = []
+        for docs, tfs, fnids in members:
+            w = Bm25Weight(docs.size, n_docs, 15.0)
+            ms.append((_make_tp(docs, tfs, fnids), w))
+            weighted.append((docs, tfs, fnids, w))
+        if len(ms) == 1 and len(clauses) > 1:
+            specs.append(("term", ms[0][0], ms[0][1]))
+        else:
+            specs.append(("or", ms, None))
+    got_d, got_s = segment_topk(specs, [], k=k)
+
+    # brute force
+    f32 = np.float32
+    member_score: list[dict[int, float]] = []
+    for docs, tfs, fnids, w in weighted:
+        member_score.append(dict(zip(docs.tolist(), w.score(fnids, tfs))))
+    idx = 0
+    group_maps = []
+    for members in clauses:
+        group_maps.append(member_score[idx:idx + len(members)])
+        idx += len(members)
+    cand = None
+    for gm in group_maps:
+        docs_in = set().union(*[set(m) for m in gm])
+        cand = docs_in if cand is None else cand & docs_in
+    scores = {}
+    for d in cand:
+        s = f32(0.0)
+        for gm in group_maps:
+            for m in gm:
+                if d in m:
+                    s = f32(s + m[d])
+        scores[d] = s
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert got_d.tolist() == [d for d, _ in exp]
+    np.testing.assert_array_equal(
+        got_s, np.array([s for _, s in exp], dtype=f32))

@@ -86,3 +86,32 @@ def test_cold_blocks_fully_packed(spark, merged):
     assert bad_cold.count() == 0
     # and the salted path must actually have been exercised
     assert (tseg.filter(F.col("seg_df") > 200).count()) > 0
+
+
+def test_merge_preserves_shadow_fields(spark, tmp_path):
+    """Merging an ngram+stem index keeps compound/stemmed matching (and
+    the stats flags that auto-enable it)."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.indexer.merge import merge_segments
+    from cuely_spark.queryengine import IndexReader
+
+    rows = [(i, t) for i, t in enumerate(
+        ["i love new york", "newyork", "running fast", "nothing here",
+         "new things", "york minster"] * 3)]
+    df = spark.createDataFrame(
+        [(i, t) for i, (j, t) in enumerate(rows)],
+        "doc_id long, text string")
+    src = str(tmp_path / "src")
+    build_index(spark, df, src, doc_id_col="doc_id", rows_per_segment=6,
+                ngram_max=3, stem=True)
+    dst = str(tmp_path / "merged")
+    merge_segments(spark, src, dst, target_segments=1, hot_df_threshold=2)
+    r0, r1 = IndexReader(spark, src), IndexReader(spark, dst)
+    assert r1.stats["ngram_max"] == 3 and r1.stats["stemmed"] is True
+    for q in ["new york", "runs"]:
+        d0, s0 = r0.search_collect(q, k=20, dtype=np.float64)
+        d1, s1 = r1.search_collect(q, k=20, dtype=np.float64)
+        assert d0.tolist() == d1.tolist(), q
+        np.testing.assert_array_equal(s0, s1)

@@ -107,3 +107,32 @@ def test_real_structured_stream(spark, chunks, tmp_path):
     assert r.stats["num_docs"] == 600
     docs, _ = r.search_collect("website", k=5)
     assert docs.size > 0
+
+
+def test_live_index_with_shadow_fields(spark, tmp_path):
+    """Live micro-batches honor ngram/stem flags: a compound-word query
+    matches a streamed doc whose only token is the compound, and the
+    flags survive replay's full stats rebuild."""
+    import numpy as np
+
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.streaming import LiveIndexWriter
+
+    root = str(tmp_path / "live_ng")
+    w = LiveIndexWriter(spark, root, text_col="text",
+                        order_cols=("doc_id",), ngram_max=3, stem=True)
+    b0 = spark.createDataFrame(
+        [(0, "i love new york"), (1, "newyork"), (2, "running fast")],
+        "doc_id long, text string")
+    w.process_batch(b0, 0)
+    r = IndexReader(spark, root)
+    docs, _ = r.search_collect("new york", k=10, dtype=np.float64)
+    assert set(docs.tolist()) == {0, 1}
+    docs, _ = r.search_collect("runs", k=10, dtype=np.float64)
+    assert set(docs.tolist()) == {2}  # stemmed: runs -> run(ning)
+    # replay triggers the full stats rebuild; flags must survive
+    w.process_batch(b0, 0)
+    r2 = IndexReader(spark, root)
+    assert r2.stats["ngram_max"] == 3 and r2.stats["stemmed"] is True
+    docs, _ = r2.search_collect("new york", k=10, dtype=np.float64)
+    assert set(docs.tolist()) == {0, 1}
