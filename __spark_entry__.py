@@ -387,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash_pairs"] = (
         lambda s, d: dedup.simhash_near_dup_pairs(
             _docs(s, d), bits=60, bands=4, max_hamming=3))
+    out["dedup_clusters"] = (
+        lambda s, d: dedup.near_dup_clusters(
+            dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.8)))
 
     # --- similarity search over embeddings ---
     out["knn_scores_all"] = (
@@ -620,6 +623,20 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12"""
+
+    # connected components over the LSH near-dup pairs: cluster id = min
+    # reachable doc id (recursive transitive closure — exact at gate
+    # scale; the Spark side is iterative min-label propagation)
+    out["dedup_clusters"] = f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({out["dedup_minhash_lsh"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e) s
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
 
     bits = 16
     s_cols = ", ".join(

@@ -291,3 +291,58 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def near_dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                      b_col: str = "doc_b",
+                      max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs,
+    cluster_id = min doc id in the component — the step a dedup pipeline
+    runs after pair generation to keep one canonical doc per group.
+
+    Iterative min-label propagation: each round joins current labels
+    across the (undirected) edge set and keeps the per-node min;
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (stars around a canonical), so a handful of rounds in
+    practice; `max_iters` bounds pathological chains. Each round is two
+    hash shuffles keyed by node id — no driver materialization beyond a
+    1-row convergence check. (The Kiveris et al. large-star/small-star
+    optimization drops in here if trillion-edge graphs ever appear.)
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(prop, "id", "left")
+                      .select("id", F.least(
+                          F.col("label"),
+                          F.coalesce(F.col("nbr_min"), F.col("label")))
+                          .alias("label")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def canonical_docs(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop every non-canonical near-dup: keep docs that either appear
+    in no cluster or ARE their cluster's min-id representative."""
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias("__loser")))
+    return docs.join(losers, docs[id_col] == F.col("__loser"),
+                     "left_anti")

@@ -257,3 +257,22 @@ def test_persisted_ann_indexes_match_onthefly(spark, emb_df, tmp_path):
                              iters=5).collect()
     assert [(r["vec_id"], r["cosine"]) for r in got] == \
         [(r["vec_id"], r["cosine"]) for r in exp]
+
+
+def test_near_dup_clusters_and_canonical(spark):
+    """Connected components over pairs: transitive chains collapse to
+    one cluster keyed by the min id; canonical_docs keeps one per
+    cluster plus all unpaired docs."""
+    from cuely_spark.ops.dedup import canonical_docs, near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)],  # {1,2,3,9} and {5,6}
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(11)],
+                                 "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            canonical_docs(docs, near_dup_clusters(pairs)).collect()}
+    assert kept == {0, 1, 4, 5, 7, 8, 10}
