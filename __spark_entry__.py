@@ -391,6 +391,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: dedup.near_dup_clusters(
             dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.8)))
 
+    def pipeline_survivors(spark, sf_dir):
+        """Composed pretraining filter: length + quality gates, then
+        near-dup canonical selection."""
+        from cuely_spark.ops.pipeline import pretrain_filter
+
+        return pretrain_filter(_docs(spark, sf_dir), min_tokens=5,
+                               max_tokens=1000, min_quality=0.3,
+                               jaccard=0.8)
+    out["pipeline_survivors"] = pipeline_survivors
+
     # --- similarity search over embeddings ---
     out["knn_scores_all"] = (
         lambda s, d: similarity.cosine_scores(_emb(s, d), _query_vec(s, d)))
@@ -638,6 +648,16 @@ reach(v, r) AS (
 )
 SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
 
+    # composed pretraining filter = conjunction of the already-gated
+    # stage oracles (token gate, quality gate, non-canonical drop)
+    out["pipeline_survivors"] = f"""
+SELECT d.doc_id FROM documents d
+JOIN ({{tok}}) t ON t.doc_id = d.doc_id
+JOIN ({{qual}}) q ON q.doc_id = d.doc_id
+WHERE t.n_tokens BETWEEN 5 AND 1000 AND q.quality >= 0.3
+  AND d.doc_id NOT IN (
+    SELECT doc_id FROM ({{clus}}) c WHERE doc_id != cluster_id)"""
+
     bits = 16
     s_cols = ", ".join(
         f"sum(CASE WHEN ({h('tok')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) "
@@ -760,6 +780,11 @@ SELECT doc_id, {pred} AS lang_pred FROM sc"""
 SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # fill the composed-pipeline oracle now that its stage SQLs exist
+    out["pipeline_survivors"] = out["pipeline_survivors"].format(
+        tok=out["text_token_stats"], qual=out["text_quality"],
+        clus=out["dedup_clusters"])
 
     out["events_sessionized"] = """
 WITH g AS (
