@@ -104,9 +104,16 @@ class TermPostings:
         """(tfs, fnids, found_mask) for candidate docs (sorted)."""
         blocks = self.blocks_overlapping(cand_docs)
         docs, tfs, fnids, _ = self.decode_blocks(blocks)
+        if docs.size == 0:
+            # no block overlaps any candidate (possible when probing a
+            # rare or-group member / mustnot term against a candidate
+            # set built from other lists)
+            z = np.zeros(cand_docs.size, dtype=np.int64)
+            return (z, z.astype(np.uint8),
+                    np.zeros(cand_docs.size, dtype=bool))
         pos = np.searchsorted(docs, cand_docs)
-        pos_c = np.clip(pos, 0, max(0, docs.size - 1))
-        found = (docs.size > 0) & (docs[pos_c] == cand_docs) & (pos < docs.size)
+        pos_c = np.clip(pos, 0, docs.size - 1)
+        found = (docs[pos_c] == cand_docs) & (pos < docs.size)
         return tfs[pos_c], fnids[pos_c], found
 
     def positions_for(self, cand_docs: np.ndarray) -> list[np.ndarray]:
