@@ -116,26 +116,44 @@ class TermPostings:
         found = (docs[pos_c] == cand_docs) & (pos < docs.size)
         return tfs[pos_c], fnids[pos_c], found
 
-    def positions_for(self, cand_docs: np.ndarray) -> list[np.ndarray]:
-        """Per-candidate position arrays (cand_docs sorted, must exist)."""
+    def positions_flat(self, cand_docs: np.ndarray):
+        """(flat positions, per-candidate counts) for candidate docs.
+
+        cand_docs must be sorted and present in this posting list. The
+        flat array is each candidate's ascending position list
+        concatenated in candidate order — one ragged gather, no
+        per-candidate Python loop."""
         assert self.positions is not None, "index built without positions"
-        out: list[np.ndarray] = []
         blocks = self.blocks_overlapping(cand_docs)
-        want = set(cand_docs.tolist())
-        found: dict[int, np.ndarray] = {}
+        flat_parts: list[np.ndarray] = []
+        doc_parts: list[np.ndarray] = []
+        cnt_parts: list[np.ndarray] = []
         for b in blocks:
             docs, tfs, _ = self.decode_block(int(b))
             poss = decode_positions(self.positions[int(b)], tfs)
             ends = np.cumsum(tfs)
             starts = ends - tfs
             sel = np.flatnonzero(np.isin(docs, cand_docs))
-            for i in sel:
-                d = int(docs[i])
-                if d in want:
-                    found[d] = poss[starts[i]:ends[i]]
-        for d in cand_docs:
-            out.append(found[int(d)])
-        return out
+            if sel.size == 0:
+                continue
+            stf = tfs[sel]
+            # ragged gather: out[i] spans starts[sel[i]] .. +stf[i]
+            total = int(stf.sum())
+            base = np.repeat(starts[sel], stf)
+            local = (np.arange(total, dtype=np.int64)
+                     - np.repeat(np.cumsum(stf) - stf, stf))
+            flat_parts.append(poss[base + local])
+            doc_parts.append(docs[sel])
+            cnt_parts.append(stf)
+        counts = np.zeros(cand_docs.size, dtype=np.int64)
+        if not flat_parts:
+            return np.empty(0, dtype=np.int64), counts
+        sel_docs = np.concatenate(doc_parts)
+        idx = np.searchsorted(cand_docs, sel_docs)
+        counts[idx] = np.concatenate(cnt_parts)
+        # blocks are doc-ordered and non-overlapping, so concatenation
+        # is already in candidate order
+        return np.concatenate(flat_parts), counts
 
 
 def _merge_topk(docs, scores, k):
@@ -346,19 +364,34 @@ def intersect_units(units: list) -> np.ndarray:
 
 def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
     """Phrase match count per candidate doc (0 = no match). `tps` in
-    phrase word order; cand sorted and present in every tp."""
+    phrase word order; cand sorted and present in every tp.
+
+    Fully vectorized (no per-candidate loop): positions are doc-offset
+    encoded as rank(doc) * 2^32 + (pos - word_offset), so ONE sorted
+    intersection per adjacent word pair verifies adjacency across ALL
+    candidates at once (reference per-doc equivalent:
+    crates/tantivy/src/query/phrase_query/phrase_scorer.rs:46-120)."""
     counts = np.zeros(cand.size, dtype=np.int64)
     if cand.size == 0:
         return counts
-    pos_lists = [tp.positions_for(cand) for tp in tps]
-    for i in range(cand.size):
-        live = pos_lists[0][i]
-        for off in range(1, len(tps)):
-            nxt = pos_lists[off][i] - off
-            live = np.intersect1d(live, nxt, assume_unique=True)
-            if live.size == 0:
-                break
-        counts[i] = live.size
+    SHIFT = np.int64(1) << np.int64(32)  # positions are < 2^31
+    live: np.ndarray | None = None
+    for off, tp in enumerate(tps):
+        flat, per_doc = tp.positions_flat(cand)
+        ranks = np.repeat(np.arange(cand.size, dtype=np.int64), per_doc)
+        if off:
+            # a match starting before the doc can't exist: drop pos < off
+            keep = flat >= off
+            if not keep.all():
+                flat, ranks = flat[keep], ranks[keep]
+        enc = ranks * SHIFT + (flat - off)
+        if live is None:
+            live = enc
+        else:
+            live = np.intersect1d(live, enc, assume_unique=True)
+        if live.size == 0:
+            return counts
+    np.add.at(counts, live // SHIFT, 1)
     return counts
 
 
