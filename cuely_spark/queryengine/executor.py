@@ -108,6 +108,7 @@ class IndexReader:
         # offset[segment] + __ord (offsets recorded at build time)
         self._offsets = self.stats.get("segment_offsets")
         self._postings_df = None
+        self._segment_docs = None
 
     @property
     def postings_df(self):
@@ -563,19 +564,36 @@ class IndexReader:
                 est *= dfs[t] / self.num_docs
         return int(round(est))
 
+    @property
+    def segment_docs(self) -> dict[int, int]:
+        """num_docs per segment (from kind='g' summary rows), cached —
+        a #segments-row collect paid once per reader."""
+        if self._segment_docs is None:
+            g = (self.spark.read.option(
+                    "basePath", os.path.join(self.path, "index"))
+                 .parquet(os.path.join(self.path, "index", "kind=g"))
+                 .select("segment_id", "num_docs").collect())
+            self._segment_docs = {int(r["segment_id"]): int(r["num_docs"])
+                                  for r in g}
+        return self._segment_docs
+
     def approx_count_hybrid(self, query: str | ParsedQuery,
                             max_docs_per_segment: int = 250_000):
         """Cap-then-estimate count (the reference ApproxCount collector,
         crates/core/src/collector/approx_count.rs:104-211): each segment
-        counts exactly until the ShortCircuit cap; a capped segment
-        reports max(cap, per-segment term-independence estimate), where
-        the estimate is the exact rational prod(df_i) / num_docs^(k-1)
-        truncated to integer (BigRational semantics — integer math here
-        too). Returns (count, exact) — exact iff no segment was capped.
-        Estimator semantics use the plain query terms (no compound /
-        stemmed augmentation — the reference estimates from raw term
-        dfs); use count() for augmented exact counts.
-        """
+        counts exactly UNTIL the ShortCircuit cap (the kernel stops
+        decoding once `max_docs_per_segment` matches accumulate, so a
+        capped segment pays ~cap work, not the full intersection); a
+        capped segment reports max(cap, per-segment term-independence
+        estimate), where the estimate is the exact rational
+        prod(df_i) / num_docs^(k-1) truncated to integer (BigRational
+        semantics — exact Python ints inside the kernel). The per-segment
+        decision happens executor-side; the driver sees one aggregated
+        row, not O(#segments) rows. Returns (count, exact) — exact iff
+        no segment was capped. Estimator semantics use the plain query
+        terms (no compound / stemmed augmentation — the reference
+        estimates from raw term dfs); use count() for augmented exact
+        counts."""
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
@@ -591,49 +609,36 @@ class IndexReader:
         postings = (self.postings_df
                     .filter(F.col("term").isin(pq.all_terms()))
                     .select(*cols))
+        seg_docs = self.segment_docs  # tiny dict, shipped in the closure
+        cap = max_docs_per_segment
+        k_terms = len(pos_terms)
 
         def run_segment(pdf):
             import pandas as pd
 
             if len(pdf) == 0:
-                return pd.DataFrame(
-                    {"segment_id": [], "n": [], "df_prod": []})
+                return pd.DataFrame({"n": [], "capped": []})
             seg = int(pdf["segment_id"].iloc[0])
             by_term = {t: _build_term_postings(g)
                        for t, g in pdf.groupby("term")}
             specs, negs = _make_specs(pq, weights, by_term, dtype)
-            n = count_matches(specs, negs)
-            # exact integer product of per-segment dfs (string-encoded:
-            # arbitrary precision survives the long column)
+            n = count_matches(specs, negs, max_docs=cap)
+            if n < cap:
+                return pd.DataFrame({"n": [n], "capped": [False]})
+            # exact integer estimate prod(df_i) // nd^(k-1); dfs <= nd
+            # so the estimate fits a long even though the product won't
             prod = 1
             for t in pos_terms:
                 tp = by_term.get(t)
                 prod *= int(tp.doc_count) if tp is not None else 0
-            return pd.DataFrame({"segment_id": [seg], "n": [n],
-                                 "df_prod": [str(prod)]})
+            nd = seg_docs.get(seg, 0)
+            est = (prod // (nd ** (k_terms - 1))
+                   if nd and k_terms > 1 else prod)
+            return pd.DataFrame({"n": [max(cap, est)], "capped": [True]})
 
-        rows = (postings.groupBy("segment_id")
-                .applyInPandas(
-                    run_segment,
-                    schema="segment_id long, n long, df_prod string")
-                .collect())
-        # per-segment doc counts for the independence estimate
-        g = (self.spark.read.option("basePath",
-                                    os.path.join(self.path, "index"))
-             .parquet(os.path.join(self.path, "index", "kind=g"))
-             .select("segment_id", "num_docs").collect())
-        seg_docs = {int(r["segment_id"]): int(r["num_docs"]) for r in g}
-        total, exact = 0, True
-        k_terms = len(pos_terms)
-        for r in rows:
-            n = int(r["n"])
-            if n < max_docs_per_segment:
-                total += n
-                continue
-            exact = False
-            nd = seg_docs.get(int(r["segment_id"]), 0)
-            est = (int(r["df_prod"]) // (nd ** (k_terms - 1))
-                   if nd and k_terms > 1 else int(r["df_prod"]))
-            # exact_count under ShortCircuit == the cap; take the larger
-            total += max(max_docs_per_segment, est)
-        return total, exact
+        row = (postings.groupBy("segment_id")
+               .applyInPandas(run_segment, schema="n long, capped boolean")
+               .agg(F.sum("n").alias("n"),
+                    F.max("capped").alias("any_capped"))
+               .collect())[0]
+        return int(row["n"] or 0), not bool(row["any_capped"])

@@ -542,8 +542,18 @@ def segment_topk(
 def count_matches(
     clause_specs: list[tuple],
     mustnot_groups: list[list[TermPostings]],
+    max_docs: int | None = None,
 ) -> int:
-    """Exact match count for the conjunction (no scoring)."""
+    """Exact match count for the conjunction (no scoring).
+
+    `max_docs` short-circuits: the driver posting list is decoded in
+    block chunks and counting STOPS (returning exactly max_docs) once
+    that many matches — after phrase verification and MustNot exclusion
+    — have accumulated, so a capped segment pays ~cap work instead of
+    the full intersection (reference ShortCircuitQuery semantics,
+    crates/tantivy/src/query/shortcircuit.rs:22-74, the collector the
+    ApproxCount estimate is defined against,
+    collector/approx_count.rs:104-211)."""
     for kind, tp, _ in clause_specs:
         if kind == "or":
             if all(t.nblocks == 0 for t, _ in tp):
@@ -559,19 +569,57 @@ def count_matches(
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
-    cand = intersect_units(units)
-    for kind, tp, _ in clause_specs:
-        if kind == "phrase" and cand.size:
-            cand = cand[phrase_tf(tp, cand) > 0]
-    for group in mustnot_groups:
-        if not group or any(t.nblocks == 0 for t in group) or cand.size == 0:
-            continue
-        sub = cand
-        for tp in group:
-            _, _, found = tp.lookup(sub)
-            sub = sub[found]
-            if sub.size == 0:
+    phrases = [tp for kind, tp, _ in clause_specs if kind == "phrase"]
+
+    def _finish(cand: np.ndarray) -> np.ndarray:
+        """Phrase-verify + MustNot-exclude one chunk of candidates
+        (all per-doc pointwise, so chunking is exact)."""
+        for tp in phrases:
+            if cand.size:
+                cand = cand[phrase_tf(tp, cand) > 0]
+        for group in mustnot_groups:
+            if (not group or any(t.nblocks == 0 for t in group)
+                    or cand.size == 0):
+                continue
+            sub = cand
+            for tp in group:
+                _, _, found = tp.lookup(sub)
+                sub = sub[found]
+                if sub.size == 0:
+                    break
+            if sub.size:
+                cand = cand[~np.isin(cand, sub, assume_unique=True)]
+        return cand
+
+    if max_docs is None:
+        return int(_finish(intersect_units(units)).size)
+
+    # chunked short-circuit: rarest "one" unit drives in 32-block slices
+    def est(u):
+        kind, v = u
+        return (v.doc_count if kind == "one"
+                else sum(tp.doc_count for tp, _ in v))
+
+    order = sorted(range(len(units)), key=lambda i: est(units[i]))
+    kind0, drv = units[order[0]]
+    rest = [units[j] for j in order[1:]]
+    if kind0 != "one":
+        # group driver: no cheap chunking — fall back to full count
+        return min(int(_finish(intersect_units(units)).size), max_docs)
+    total = 0
+    CHUNK = 32
+    for b in range(0, drv.nblocks, CHUNK):
+        cand, _, _, _ = drv.decode_blocks(
+            np.arange(b, min(b + CHUNK, drv.nblocks)))
+        for kind, v in rest:
+            if cand.size == 0:
                 break
-        if sub.size:
-            cand = cand[~np.isin(cand, sub, assume_unique=True)]
-    return int(cand.size)
+            if kind == "one":
+                _, _, found = v.lookup(cand)
+            else:
+                found = _group_found(v, cand)
+            cand = cand[found]
+        total += int(_finish(cand).size)
+        if total >= max_docs:
+            return max_docs
+    return total

@@ -179,3 +179,29 @@ def test_kernel_full_surface_fuzz(base_seed):
             exp_d, exp_s = [], np.empty(0, dtype=np.float32)
         assert got_d.tolist() == exp_d, f"seed {base_seed + trial}"
         np.testing.assert_array_equal(got_s, exp_s)
+
+        # count_matches (shoulds never gate): full == brute full count;
+        # short-circuited == min(full, cap) for caps below/at/above full
+        from cuely_spark.queryengine.kernel import count_matches
+
+        def brute_count():
+            n = 0
+            for d in range(n_docs):
+                ok = all(any(toks[d].count(m) > 0 for m in grp)
+                         for grp in must_groups)
+                for ph in phrases:
+                    tt = toks[d]
+                    ok = ok and any(
+                        tt[i:i + len(ph)] == list(ph)
+                        for i in range(len(tt) - len(ph) + 1))
+                for grp in negs:
+                    if grp and all(toks[d].count(t) > 0 for t in grp):
+                        ok = False
+                n += int(ok)
+            return n
+
+        full = brute_count() if empty_ok else 0
+        assert count_matches(specs, neg_specs) == full
+        for cap in (1, max(1, full // 2), full or 1, full + 5):
+            assert count_matches(specs, neg_specs, max_docs=cap) \
+                == min(full, cap), f"seed {base_seed + trial} cap {cap}"
