@@ -255,6 +255,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("query", "doc_id",
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_batch_queries"] = ft_batch
+
+    # batch mode has full feature parity with search(): compound
+    # augmentation (ngram index), Should clauses, per-query offsets
+    BATCH_AUG = {
+        "ba_compound": {"q": "scan merge table"},
+        "ba_should": {"q": "merge", "should": 'table "batch batch"'},
+        "ba_offset": {"q": "key order sort", "offset": 10},
+    }
+
+    def ft_batch_augmented(spark, sf_dir):
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_ngram_index(spark, sf_dir))
+        res = r.search_many(BATCH_AUG, k=r.num_docs, dtype=np.float64)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_batch_augmented"] = ft_batch_augmented
     for name, q in FT_COUNTS.items():
         out[name] = _ft_count(q)
 
@@ -506,6 +525,18 @@ def oracle_sql() -> dict[str, str]:
         for name, q in [("b_and", "merge table"),
                         ("b_phrase", '"batch batch"'),
                         ("b_not", "merge -window")])
+    out["ft_batch_augmented"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, doc_id, score FROM (" + sql + ")"
+        for name, sql in [
+            ("ba_compound",
+             bm25_search_sql("scan merge table", k=None, ngram_max=3)),
+            ("ba_should",
+             bm25_search_sql("merge", k=None,
+                             should='table "batch batch"')),
+            ("ba_offset",
+             bm25_search_sql("key order sort", k=None, offset=10,
+                             ngram_max=3)),
+        ])
     for name, q in FT_COUNTS.items():
         out[name] = count_sql(q)
     # single segment at gate scale: capped segment contributes

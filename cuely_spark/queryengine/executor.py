@@ -172,7 +172,16 @@ class IndexReader:
                            occur: str = "must"):
         """(compounds, c_terms): clause-index -> alternative shadow terms
         (bigram/trigram compounds per plan/mod.rs sliding windows, plus
-        the "s:"+porter_stem shadow when the index is stemmed)."""
+        the "s:"+porter_stem shadow when the index is stemmed).
+
+        Augmentation applies to Must conjunctions only; explicitly
+        requesting it with occur='should' is an error rather than a
+        silent no-op."""
+        if occur == "should" and (compound_terms or stemmed):
+            raise ValueError(
+                "compound_terms/stemmed augmentation is not supported "
+                "with occur='should' (scored-disjunction queries take "
+                "plain term clauses only)")
         ngram_max = int(self.stats.get("ngram_max", 0) or 0)
         use_compounds = (compound_terms if compound_terms is not None
                          else ngram_max >= 2)
@@ -381,7 +390,8 @@ class IndexReader:
         return top.drop("segment_id")
 
     def search_many(self, queries: dict, k: int = TOP_K_DEFAULT,
-                    dtype=np.float32):
+                    dtype=np.float32, compound_terms: bool | None = None,
+                    stemmed: bool | None = None):
         """Evaluate MANY queries in ONE Spark job — queries as data.
 
         One postings scan filtered by the union of all query terms; each
@@ -390,38 +400,80 @@ class IndexReader:
         Amortizes the per-job overhead that dominates single-query
         latency in local mode (the analog of the reference's
         shard-parallel query fan-out, but across the query set).
-        Note: compound/stemmed augmentation and should/offset are not
-        applied in batch mode — plain Must semantics per query.
 
-        Returns DataFrame (query, rank, doc_id, score).
+        Each value of `queries` is a query string / ParsedQuery, or a
+        dict spec {"q": ..., "should": ..., "offset": int} — the batch
+        path has full feature parity with search(): compound/stemmed
+        augmentation (same index-flag defaults), Should clauses that
+        score but never gate, and per-query pagination offsets (every
+        shard query goes through the same plan build in the reference,
+        crates/core/src/query/mod.rs:77-154).
+
+        Returns DataFrame (query, rank, doc_id, score); rank is 1-based
+        after the query's offset.
         """
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        parsed = {name: (parse_query(q) if isinstance(q, str) else q)
-                  for name, q in queries.items()}
-        all_terms = sorted({t for pq in parsed.values()
-                            for t in pq.all_terms()})
+        def _spec(v):
+            if isinstance(v, dict):
+                return (v["q"], v.get("should"), int(v.get("offset", 0)))
+            return (v, None, 0)
+
+        parsed, shoulds, offsets = {}, {}, {}
+        compounds_by, cterms_by = {}, {}
+        for name, v in queries.items():
+            q, sh, off = _spec(v)
+            pq = parse_query(q) if isinstance(q, str) else q
+            parsed[name] = pq
+            offsets[name] = off
+            spq = (parse_query(sh) if isinstance(sh, str) else sh) \
+                if sh is not None else None
+            if spq is not None and spq.negative:
+                raise ValueError(
+                    "negations belong in the must query, not in should")
+            shoulds[name] = spq
+            compounds_by[name], cterms_by[name] = self._plan_alternatives(
+                pq, compound_terms, stemmed)
+        all_terms = sorted(
+            {t for pq in parsed.values() for t in pq.all_terms()}
+            | {t for spq in shoulds.values() if spq is not None
+               for t in spq.all_terms()}
+            | {t for ct in cterms_by.values() for t in ct})
         dfs = self.term_dfs(all_terms)
-        weights = {name: self._weights(pq, dfs, dtype)
-                   for name, pq in parsed.items()}
-        # queries with an absent required term are dropped up front
-        live = {}
+        weights = {}
         for name, pq in parsed.items():
-            required = [c.tokens for c in pq.positive]
-            if not any(dfs[t] == 0 for toks in required for t in toks):
-                live[name] = pq
+            w = self._weights(pq, dfs, dtype)
+            if shoulds[name] is not None:
+                w.update(self._weights(shoulds[name], dfs, dtype))
+            for t in cterms_by[name]:
+                w[t] = Bm25Weight(dfs[t], self.num_docs,
+                                  self.avg_fieldnorm, dtype=dtype)
+            weights[name] = w
+        # queries with a dead required clause are dropped up front
+        live = {name: pq for name, pq in parsed.items()
+                if not self._dead_clause(pq, compounds_by[name], dfs)}
         if not live:
-            return self.spark.createDataFrame(
-                [], "query string, rank int, doc_id long, score double")
-        has_phrase = any(c.kind == "phrase"
-                         for pq in live.values() for c in pq.positive)
+            return self.spark.sql(
+                "SELECT CAST(NULL AS STRING) AS query, "
+                "CAST(NULL AS INT) AS rank, CAST(NULL AS LONG) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE 1=0")
+        has_phrase = any(
+            c.kind == "phrase"
+            for name in live
+            for pq in [parsed[name]] + (
+                [shoulds[name]] if shoulds[name] is not None else [])
+            for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        live_terms = sorted({t for pq in live.values()
-                             for t in pq.all_terms()})
+        live_terms = sorted(
+            {t for name in live for t in parsed[name].all_terms()}
+            | {t for name in live if shoulds[name] is not None
+               for t in shoulds[name].all_terms()}
+            | {t for name in live for t in cterms_by[name]})
         postings = (self.postings_df
                     .filter(F.col("term").isin(live_terms))
                     .select(*cols))
+        seg_k = {name: k + offsets[name] for name in live}
 
         def run_segment(pdf):
             import pandas as pd
@@ -431,10 +483,15 @@ class IndexReader:
                 by_term = {t: _build_term_postings(g)
                            for t, g in pdf.groupby("term")}
                 for name, pq in live.items():
-                    specs, negs = _make_specs(pq, weights[name],
-                                              by_term, dtype)
-                    docs, scores = segment_topk(specs, negs, k,
-                                                dtype=dtype)
+                    specs, negs = _make_specs(
+                        pq, weights[name], by_term, dtype,
+                        compounds=compounds_by[name])
+                    sspecs = (_make_specs(shoulds[name], weights[name],
+                                          by_term, dtype)[0]
+                              if shoulds[name] is not None else None)
+                    docs, scores = segment_topk(specs, negs, seg_k[name],
+                                                dtype=dtype,
+                                                should_specs=sspecs)
                     if docs.size:
                         out.append(pd.DataFrame({
                             "query": name,
@@ -450,9 +507,21 @@ class IndexReader:
             run_segment, schema="query string, doc_id long, score double")
         w = (Window.partitionBy("query")
              .orderBy(F.desc("score"), F.asc("doc_id")))
-        return (local.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query", "rank", "doc_id", "score"))
+        ranked = local.withColumn("rk", F.row_number().over(w))
+        if any(offsets.values()):
+            off_map = F.create_map(*[
+                x for name in live
+                for x in (F.lit(name), F.lit(offsets[name]))])
+            ranked = (ranked
+                      .withColumn("__off", off_map[F.col("query")])
+                      .filter(F.col("rk") > F.col("__off"))
+                      .withColumn("rank", (F.col("rk") - F.col("__off"))
+                                  .cast("int"))
+                      .filter(F.col("rank") <= k))
+        else:
+            ranked = (ranked.filter(F.col("rk") <= k)
+                      .withColumn("rank", F.col("rk").cast("int")))
+        return ranked.select("query", "rank", "doc_id", "score")
 
     def _empty_result(self):
         # NOT createDataFrame([], ...): that path costs ~350 ms per call
