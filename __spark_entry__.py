@@ -148,6 +148,33 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     return dst
 
 
+def _ensure_bm25f_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-field index for BM25F: primary `text` plus a derived `title`
+    field (source tag + the first two text tokens) — short per-doc
+    lengths give the second field genuinely different fieldnorms, and
+    source tags appear ONLY in the title, so the union-field df differs
+    from the body df."""
+    from cuely_spark.indexer import build_index
+
+    key = hashlib.md5(
+        f"bm25f-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = (spark.read.parquet(
+                    os.path.join(sf_dir, "documents.parquet"))
+                .withColumn(
+                    "title",
+                    F.concat_ws(
+                        " ", F.col("source"),
+                        F.array_join(
+                            F.slice(F.split(F.trim(F.col("text")),
+                                            r"\s+"), 1, 2), " "))))
+        build_index(spark, docs, out, text_col="text",
+                    doc_id_col="doc_id", rows_per_segment=2500,
+                    num_jobs=1, field_cols=("title",))
+    return out
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -372,6 +399,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "snippet"))
     out["ft_snippets"] = ft_snippets
 
+    def ft_bm25f(spark, sf_dir):
+        """BM25F over two fields (text + derived title): union-field
+        IDF, per-field fieldnorms, title tf weighted 2x inside the
+        saturation; 'src1' matches in the title field only."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        res = r.search_bm25f("merge src1", k=r.num_docs,
+                             dtype=np.float64,
+                             field_coeffs={"title": 2.0})
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_bm25f"] = ft_bm25f
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -572,6 +615,12 @@ FROM fullc, d"""
     out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
                                          ngram_max=3)
     out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
+    from cuely_spark.oracle_sql import bm25f_search_sql
+    title_expr = ("source || ' ' || array_to_string("
+                  "regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')")
+    out["ft_bm25f"] = bm25f_search_sql(
+        "merge src1", fields={"text": "text", "title": title_expr},
+        coeffs={"title": 2.0}, k=None)
     from cuely_spark.oracle_sql import snippet_sql
     out["ft_snippets"] = snippet_sql("merge table", k=10)
     out["ft_blend"] = f"""

@@ -70,3 +70,38 @@ class Bm25Weight:
         """Per-block score bound from stored block-max (fieldnorm_id, tf)
         pairs (reference: crates/tantivy/src/postings/skip.rs:162-171)."""
         return self.score(block_fieldnorm_ids, block_tfs)
+
+
+class Bm25FWeight(Bm25Weight):
+    """Per-(term, field) BM25F weight (reference:
+    /root/reference/crates/core/src/ranking/bm25f.rs:64-181):
+
+    - IDF from the UNION field's doc freq (the AllBody approximation,
+      bm25f.rs:38-50) — a term rare in one field but common overall
+      still counts as common;
+    - the tf-norm cache from the FIELD's own avg_fieldnorm
+      (bm25f.rs:104-116 computes total_num_tokens of that field);
+    - the field coefficient scales tf INSIDE the saturation
+      (bm25f.rs:172-180: term_freq * coefficient), so a high-weight
+      field saturates later rather than just multiplying the score.
+
+    score(field, doc) = idf_union * (tf*c)*(k1+1) / (tf*c + norm[fn_id]);
+    BM25F(doc) = sum over (term, field) pairs — the kernel's or-group
+    accumulation (one group per query term, one member per field).
+    """
+
+    __slots__ = ("coeff",)
+
+    def __init__(self, union_doc_freq: int, doc_count: int,
+                 field_avg_fieldnorm: float, coeff: float = 1.0,
+                 dtype=DTYPE):
+        super().__init__(union_doc_freq, doc_count, field_avg_fieldnorm,
+                         dtype=dtype)
+        self.coeff = dtype(coeff)
+
+    def tf_factor(self, fieldnorm_ids: np.ndarray,
+                  tfs: np.ndarray) -> np.ndarray:
+        d = self.dtype
+        tf = np.asarray(tfs).astype(d) * self.coeff
+        norm = self.cache[np.asarray(fieldnorm_ids, dtype=np.int64)]
+        return (tf * (self.k1 + d(1.0))) / (tf + norm)

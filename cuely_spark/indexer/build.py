@@ -148,13 +148,16 @@ def segment_kernel(id_col: str, text_col: str,
                    offsets: dict[int, int] | None = None,
                    store_positions: bool = True,
                    ngram_max: int = 0,
-                   stem: bool = False):
+                   stem: bool = False,
+                   field_cols: tuple[str, ...] = ()):
     """mapInPandas kernel building complete index segments from turns
     rows — shared by the bulk builder (stage B) and the live-index
     micro-batch path. Groups by the segment_id column so Spark's file
     packing can never mix segments; when `offsets` is given, doc ids are
-    offsets[segment] + row's id_col (stage-A __ord contract)."""
-    keep_cols = [id_col, text_col, *attr_cols]
+    offsets[segment] + row's id_col (stage-A __ord contract).
+    `field_cols`: extra scored text fields (multi-field postings for
+    BM25F — see build_segment_rows)."""
+    keep_cols = [id_col, text_col, *attr_cols, *field_cols]
 
     def kernel(batches):
         import pandas as pd
@@ -177,6 +180,8 @@ def segment_kernel(id_col: str, text_col: str,
                      if v is not None and str(v) != ""]
                     for row_vals in zip(*cols)
                 ]
+            extra = ({g: allp[g].tolist() for g in field_cols}
+                     if field_cols else None)
             yield build_segment_rows(
                 ids,
                 allp[text_col].tolist(),
@@ -185,6 +190,7 @@ def segment_kernel(id_col: str, text_col: str,
                 attr_tokens=attrs,
                 ngram_max=ngram_max,
                 stem=stem,
+                extra_fields=extra,
             )
     return kernel
 
@@ -212,6 +218,7 @@ def build_index(
     ngram_max: int = 0,
     stem: bool = False,
     score_col: str | None = None,
+    field_cols: tuple[str, ...] = (),
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -231,6 +238,12 @@ def build_index(
     `attr_cols`: low-cardinality string columns indexed as unscored
     `field:value` filter terms (queryable as `role:user` — the
     site:/intitle: analog).
+
+    `field_cols`: extra SCORED text columns — multi-field postings with
+    per-field fieldnorms and union-field term stats, queryable via
+    IndexReader.search_bm25f (reference data model: one inverted index
+    per text field, schema/text_field.rs:97-130; BM25F scoring,
+    ranking/bm25f.rs:64-181).
     """
     assert not (doc_id_col and score_col), \
         "score-sorted ids and user-supplied ids are mutually exclusive"
@@ -299,8 +312,10 @@ def build_index(
 
     id_col = "doc_id" if offsets is None else "__ord"
     attr_cols = tuple(attr_cols)
+    field_cols = tuple(field_cols)
     seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
-                                store_positions, ngram_max, stem)
+                                store_positions, ngram_max, stem,
+                                field_cols)
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
@@ -312,7 +327,8 @@ def build_index(
             .parquet(*[
                 os.path.join(paths.turns, f"segment_id={s}") for s in segs
             ])
-            .select(id_col, text_col, "segment_id", *attr_cols)
+            .select(id_col, text_col, "segment_id", *attr_cols,
+                    *field_cols)
         )
         rows = src.mapInPandas(seg_kernel, schema=INDEX_ROW_SCHEMA)
         # small row groups: posting rows are term-sorted, so parquet
@@ -365,6 +381,20 @@ def build_index(
         F.sum("total_tokens").alias("total_tokens"),
         F.sum("posting_bytes").alias("posting_bytes"),
     ).collect()[0]
+    # per-field token totals (-> per-field avg_fieldnorm for BM25F):
+    # field g's tokens are exactly the ttf mass of its "f:{g}:" terms
+    field_tokens: dict[str, int] | None = None
+    if field_cols:
+        ft = (
+            spark.read.parquet(paths.term_stats)
+            .filter(F.col("term").startswith("f:"))
+            .withColumn("fld", F.split(F.col("term"), ":").getItem(1))
+            .groupBy("fld").agg(F.sum("ttf").alias("toks"))
+            .collect()
+        )
+        field_tokens = {r["fld"]: int(r["toks"]) for r in ft}
+        for g in field_cols:
+            field_tokens.setdefault(g, 0)
     _mark("global_stats")
     stats = {
         "num_docs": int(agg["num_docs"]),
@@ -376,6 +406,9 @@ def build_index(
         "ngram_max": ngram_max,
         "stemmed": stem,
         "score_sorted_by": score_col,
+        "text_col": text_col,
+        "field_cols": list(field_cols),
+        "field_tokens": field_tokens,
         "built_sec": time.time() - t0,
         "phase_sec": phase_sec,
         # doc_id = segment_offsets[segment_id] + __ord when the turns

@@ -109,6 +109,7 @@ def build_segment_rows(
     attr_tokens: list | None = None,
     ngram_max: int = 0,
     stem: bool = False,
+    extra_fields: dict[str, list] | None = None,
 ) -> pd.DataFrame:
     """Build all index rows for one segment from (doc_id, text) pairs.
 
@@ -125,6 +126,16 @@ def build_segment_rows(
     excluded from doclen/fieldnorms, so plain-term BM25 is unchanged;
     compound matches are scored with the text field's fieldnorm
     (documented deviation: the reference keeps per-field fieldnorms).
+
+    `extra_fields` (optional): {field_name: per-doc texts} — additional
+    SCORED text fields, the multi-field data model of the reference
+    (one inverted index per text field, per-field fieldnorms:
+    crates/core/src/schema/text_field.rs:97-130). Field g's tokens are
+    indexed as "f:{g}:{token}" postings whose denormalized fieldnorm
+    ids quantize FIELD g's own doc length, and union-of-fields term
+    stats are emitted as "u:{token}" t-rows — the AllBody-field df the
+    reference's BM25F takes its IDF from (ranking/bm25f.rs:38-50).
+    Shadow streams (stem / ngram) run over the primary field only.
     """
     import gc
 
@@ -139,7 +150,7 @@ def build_segment_rows(
     try:
         return _build_segment_rows_inner(doc_ids, texts, segment_id,
                                          store_positions, attr_tokens,
-                                         ngram_max, stem)
+                                         ngram_max, stem, extra_fields)
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -198,6 +209,7 @@ def _build_segment_rows_inner(
     attr_tokens: list | None = None,
     ngram_max: int = 0,
     stem: bool = False,
+    extra_fields: dict[str, list] | None = None,
 ) -> pd.DataFrame:
     n = doc_ids.size
 
@@ -206,6 +218,17 @@ def _build_segment_rows_inner(
     flat, lens = _tokenize_flat([texts[i] for i in order])
     fnids_per_doc = fieldnorm_to_id(lens)
     total = int(lens.sum())
+
+    # extra scored fields: tokenize each with its own doc lengths /
+    # quantized fieldnorms (per-field fieldnorm contract,
+    # crates/tantivy/src/fieldnorm/: one u8 per doc PER FIELD)
+    efields: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+    e_total = 0
+    for fname, ftexts in (extra_fields or {}).items():
+        eflat, elens = _tokenize_flat([ftexts[i] for i in order])
+        efnids = fieldnorm_to_id(elens)
+        efields.append((fname, eflat, elens, efnids))
+        e_total += int(elens.sum())
 
     # ---- doc rows -------------------------------------------------------
     d_rows = pd.DataFrame({
@@ -228,7 +251,7 @@ def _build_segment_rows_inner(
                              dtype=np.int64, count=n)
         a_total = int(a_lens.sum())
 
-    if total == 0 and a_total == 0:
+    if total == 0 and a_total == 0 and e_total == 0:
         g_rows = pd.DataFrame([{
             "kind": "g", "segment_id": segment_id, "num_docs": n,
             "num_terms": 0, "total_tokens": 0, "posting_bytes": 0,
@@ -241,6 +264,10 @@ def _build_segment_rows_inner(
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     # position of token within its doc
     tok_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    # fieldnorm id carried per token (streams of different fields mix
+    # in one sorted pass; a (term, doc) group is always single-field
+    # because terms are field-namespaced)
+    tok_fn = np.repeat(fnids_per_doc, lens).astype(np.int64)
 
     # shadow streams run over the ORIGINAL text-token stream only
     text_docs, text_pos = tok_docs, tok_pos
@@ -258,6 +285,7 @@ def _build_segment_rows_inner(
         terms_arr = np.concatenate([terms_arr, s_flat])
         tok_docs = np.concatenate([tok_docs, text_docs])
         tok_pos = np.concatenate([tok_pos, text_pos])
+        tok_fn = np.concatenate([tok_fn, np.repeat(fnids_per_doc, lens)])
         total += s_flat.size
 
     if ngram_max >= 2 and total:
@@ -270,7 +298,26 @@ def _build_segment_rows_inner(
                 terms_arr = np.concatenate([terms_arr, ctoks])
                 tok_docs = np.concatenate([tok_docs, cdocs])
                 tok_pos = np.concatenate([tok_pos, cpos])
+                tok_fn = np.concatenate([
+                    tok_fn,
+                    fnids_per_doc[np.searchsorted(doc_ids, cdocs)]])
                 total += ctoks.size
+
+    # extra scored fields: "f:{name}:{token}" postings with the FIELD's
+    # fieldnorm ids; positions are ordinals within the field's stream
+    for fname, eflat, elens, efnids in efields:
+        e_tot = int(elens.sum())
+        if e_tot == 0:
+            continue
+        pre = np.full(e_tot, "f:" + fname + ":", dtype=object)
+        terms_arr = np.concatenate([terms_arr, pre + eflat])
+        tok_docs = np.concatenate([tok_docs, np.repeat(doc_ids, elens)])
+        estarts = np.concatenate([[0], np.cumsum(elens)[:-1]])
+        epos = (np.arange(e_tot, dtype=np.int64)
+                - np.repeat(estarts, elens))
+        tok_pos = np.concatenate([tok_pos, epos])
+        tok_fn = np.concatenate([tok_fn, np.repeat(efnids, elens)])
+        total += e_tot
 
     if attr_lists is not None:
         # append attribute-filter postings (tf=1, pos 0) — note doclen /
@@ -283,6 +330,8 @@ def _build_segment_rows_inner(
                 [tok_docs, np.repeat(doc_ids, a_lens)])
             tok_pos = np.concatenate(
                 [tok_pos, np.zeros(a_total, dtype=np.int64)])
+            tok_fn = np.concatenate(
+                [tok_fn, np.repeat(fnids_per_doc, a_lens)])
             total += a_total
 
     # sorted term dictionary order == UTF-8 byte order == codepoint order
@@ -291,6 +340,7 @@ def _build_segment_rows_inner(
     c = codes[order2]
     d = tok_docs[order2]
     p = tok_pos[order2]
+    fn_sorted = tok_fn[order2]
 
     # ---- (term, doc) groups ---------------------------------------------
     new_grp = np.empty(total, dtype=bool)
@@ -301,8 +351,9 @@ def _build_segment_rows_inner(
     gdoc = d[gstarts]
     tfs = np.diff(np.append(gstarts, total)).astype(np.int64)
 
-    # fieldnorm id per group (doc_ids ascending -> searchsorted)
-    gfn = fnids_per_doc[np.searchsorted(doc_ids, gdoc)].astype(np.int64)
+    # fieldnorm id per group, carried with the tokens (field-dependent:
+    # an extra-field group quantizes that field's doc length)
+    gfn = fn_sorted[gstarts].astype(np.int64)
 
     # ---- per-term ranges --------------------------------------------------
     ngroups = gstarts.size
@@ -382,6 +433,45 @@ def _build_segment_rows_inner(
         "ttf": ttf_per_term.astype(np.int64),
     })
 
+    # union-of-fields term stats ("u:{term}") — the AllBody-field df the
+    # reference's BM25F IDF reads (ranking/bm25f.rs:38-50): df = docs
+    # holding the term in ANY scored field, ttf = occurrences across all
+    # of them. Stats only — no posting blocks.
+    u_rows = None
+    if efields:
+        uparts_t = [flat] if flat.size else []
+        uparts_d = [text_docs] if flat.size else []
+        for _, eflat, elens, _ in efields:
+            if eflat.size:
+                uparts_t.append(eflat)
+                uparts_d.append(np.repeat(doc_ids, elens))
+        if uparts_t:
+            u_terms = np.concatenate(uparts_t)
+            u_docs = np.concatenate(uparts_d)
+            ucodes, uuniq = pd.factorize(u_terms, sort=True)
+            uorder = np.lexsort((u_docs, ucodes))
+            cu, du = ucodes[uorder], u_docs[uorder]
+            npair = np.empty(cu.size, dtype=bool)
+            npair[0] = True
+            npair[1:] = (cu[1:] != cu[:-1]) | (du[1:] != du[:-1])
+            pstart = np.flatnonzero(npair)
+            pterm = cu[pstart]
+            ptf = np.diff(np.append(pstart, cu.size)).astype(np.int64)
+            tnew = np.empty(pterm.size, dtype=bool)
+            tnew[0] = True
+            tnew[1:] = pterm[1:] != pterm[:-1]
+            tstart = np.flatnonzero(tnew)
+            upre = np.full(tstart.size, "u:", dtype=object)
+            u_rows = pd.DataFrame({
+                "kind": "t",
+                "segment_id": segment_id,
+                "term": upre + np.asarray(uuniq, dtype=object)[
+                    pterm[tstart]],
+                "df": np.diff(np.append(tstart, pterm.size)
+                              ).astype(np.int64),
+                "ttf": np.add.reduceat(ptf, tstart).astype(np.int64),
+            })
+
     posting_bytes = int(sum(len(b) for b in docs_bytes)
                         + sum(len(b) for b in tf_bytes)
                         + sum(len(b) for b in fn_bytes)
@@ -392,5 +482,8 @@ def _build_segment_rows_inner(
         "posting_bytes": posting_bytes,
     }])
 
-    out = pd.concat([p_rows, t_rows, d_rows, g_rows], ignore_index=True)
+    parts = [p_rows, t_rows, d_rows, g_rows]
+    if u_rows is not None:
+        parts.insert(2, u_rows)
+    out = pd.concat(parts, ignore_index=True)
     return out.reindex(columns=_COLS)

@@ -334,6 +334,14 @@ def near_dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels still moving after max_iters: component diameter
+        # exceeds the round budget and the ids below would be WRONG —
+        # fail loudly rather than return a silently split cluster
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"(a similarity chain longer than max_iters); raise "
+            f"max_iters or contract with large-star/small-star")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -304,6 +304,116 @@ ORDER BY score DESC, doc_id ASC"""
     return sql
 
 
+def bm25f_search_sql(query: str, fields: dict[str, str],
+                     coeffs: dict[str, float] | None = None,
+                     k: int | None = None, table: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    """BM25F oracle (reference semantics, ranking/bm25f.rs:64-181):
+    `fields` maps field name -> SQL text expression (primary first);
+    membership = every query term in ANY field (AND across terms),
+    score = sum over (term, field) of
+    idf_union(term) * (tf*c_f * 2.2) / (tf*c_f + 1.2*(1 - 0.75 +
+    0.75 * fieldnorm_f / avg_fieldnorm_f)) — IDF from the union-of-
+    fields doc freq, per-field quantized fieldnorms, field coefficient
+    inside the tf saturation."""
+    pq: ParsedQuery = parse_query(query)
+    coeffs = coeffs or {}
+    fnames = list(fields)
+    terms = sorted({t for c in pq.clauses for t in c.tokens
+                    if ":" not in t})
+    terms_in = ", ".join(_q(t) for t in terms)
+
+    ctes = [f"fnt(val) AS (SELECT unnest([{_FNT}]))"]
+    for i, (fname, expr) in enumerate(fields.items()):
+        ctes.append(f"""fd{i} AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({expr}), '{TOKEN_RE}') AS toks
+  FROM {table}
+),
+q{i} AS (
+  SELECT doc_id,
+         (SELECT max(val) FROM fnt WHERE val <= len(toks)) AS fnq
+  FROM fd{i}
+),
+av{i} AS (SELECT sum(len(toks))::DOUBLE / count(*)::DOUBLE AS a
+          FROM fd{i}),
+tk{i} AS (SELECT doc_id, unnest(toks) AS term FROM fd{i}),
+tf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tk{i} WHERE term IN ({terms_in}) GROUP BY doc_id, term
+)""")
+    union_all = " UNION ALL ".join(
+        f"SELECT doc_id, term FROM tk{i}" for i in range(len(fnames)))
+    ctes.append(f"""st AS (SELECT count(*)::DOUBLE AS n FROM fd0),
+udfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM ({union_all}) u WHERE term IN ({terms_in}) GROUP BY term
+)""")
+
+    def idf_u(t: str) -> str:
+        return (f"(SELECT ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) "
+                f"FROM udfs d, st WHERE d.term = {_q(t)})")
+
+    joins, score_terms, conds = [], [], []
+    for ci, c in enumerate(pq.positive):
+        t = c.tokens[0]
+        if c.kind == "filter" or ":" in t:
+            conds.append(_filter_cond(t, table, id_col, "cand.doc_id"))
+            continue
+        member_scores = []
+        any_f = []
+        for i, fname in enumerate(fnames):
+            a = f"t{ci}_{i}"
+            cf = float(coeffs.get(fname, 1.0))
+            joins.append(
+                f"LEFT JOIN tf{i} {a} ON {a}.doc_id = cand.doc_id "
+                f"AND {a}.term = {_q(t)}")
+            tfx = f"({a}.tf * {cf})"
+            member_scores.append(
+                f"COALESCE({idf_u(t)} * ({tfx} * 2.2) / ({tfx} + 1.2 * "
+                f"(1 - 0.75 + 0.75 * cand.fnq{i} / "
+                f"(SELECT a FROM av{i}))), 0.0)")
+            any_f.append(
+                f"EXISTS (SELECT 1 FROM tf{i} WHERE "
+                f"tf{i}.doc_id = cand.doc_id AND tf{i}.term = {_q(t)})")
+        score_terms.append("(" + " + ".join(member_scores) + ")")
+        conds.append("(" + " OR ".join(any_f) + ")")
+    for c in pq.negative:
+        tok_conds = []
+        for t in c.tokens:
+            if ":" in t:
+                tok_conds.append(
+                    _filter_cond(t, table, id_col, "cand.doc_id"))
+            else:
+                tok_conds.append("(" + " OR ".join(
+                    f"EXISTS (SELECT 1 FROM tk{i} WHERE "
+                    f"tk{i}.doc_id = cand.doc_id "
+                    f"AND tk{i}.term = {_q(t)})"
+                    for i in range(len(fnames))) + ")")
+        conds.append(f"NOT ({' AND '.join(tok_conds)})")
+    if not score_terms:
+        score_terms = ["0.0"]
+
+    fnq_cols = ", ".join(
+        f"q{i}.fnq AS fnq{i}" for i in range(len(fnames)))
+    fnq_joins = " ".join(
+        f"JOIN q{i} ON q{i}.doc_id = base.doc_id"
+        for i in range(len(fnames)))
+    sql = f"""WITH {', '.join(ctes)},
+cand AS (
+  SELECT base.doc_id, {fnq_cols}
+  FROM (SELECT doc_id FROM fd0) base {fnq_joins}
+)
+SELECT cand.doc_id AS doc_id,
+       round({' + '.join(score_terms)}, 4) AS score
+FROM cand {' '.join(joins)}
+WHERE {' AND '.join(conds) if conds else 'TRUE'}
+ORDER BY score DESC, doc_id ASC"""
+    if k is not None:
+        sql += f"\nLIMIT {k}"
+    return sql
+
+
 def count_sql(query: str, table: str = "documents",
               text_col: str = "text", id_col: str = "doc_id") -> str:
     """Exact match count of a query: single row (n)."""

@@ -27,7 +27,7 @@ import os
 import numpy as np
 
 from .. import TOP_K_DEFAULT
-from ..bm25 import Bm25Weight
+from ..bm25 import Bm25FWeight, Bm25Weight
 from .kernel import TermPostings, count_matches, segment_topk, union_topk
 from .parser import ParsedQuery, compound_alternatives, parse_query
 
@@ -86,6 +86,14 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
 
 
 class IndexReader:
+    """Point-in-time snapshot of an index (tantivy Searcher semantics:
+    a reader sees the segments committed when it was opened). Stats are
+    read at __init__ and the postings DataFrame's file listing freezes
+    on first query — segments added later by a LiveIndexWriter are NOT
+    visible. After live batches, call :meth:`refresh` or construct a
+    new reader (the reference reloads its reader on commit,
+    crates/core/src/inverted_index/indexing.rs:65-75)."""
+
     #: queries whose estimated posting-block count is at or below this
     #: run in ONE task (coordinator path); above it, per-segment fanout.
     small_query_blocks: int = 4096
@@ -114,11 +122,18 @@ class IndexReader:
     def postings_df(self):
         """Lazy, cached postings DataFrame: parquet schema inference
         costs ~100 ms per spark.read call — pay it once per reader, not
-        once per query."""
+        once per query. Freezes the file listing: see the class
+        docstring's snapshot contract."""
         if self._postings_df is None:
             self._postings_df = self.spark.read.parquet(
                 self._postings_path)
         return self._postings_df
+
+    def refresh(self) -> "IndexReader":
+        """Re-open the snapshot: pick up segments/stats committed after
+        this reader was constructed (live-index ingest, merges)."""
+        self.__init__(self.spark, self.path)
+        return self
 
     def _read_turns(self):
         """Row store with a doc_id column, whatever the id mode."""
@@ -388,6 +403,155 @@ class IndexReader:
                             "doc_id", "left")
                    .orderBy(F.desc("score"), F.asc("doc_id")))
         return top.drop("segment_id")
+
+    def search_bm25f(self, query: str | ParsedQuery,
+                     k: int = TOP_K_DEFAULT, dtype=np.float32,
+                     field_coeffs: dict[str, float] | None = None,
+                     offset: int = 0):
+        """BM25F top-k over a multi-field index (built with field_cols).
+
+        Semantics per the reference (ranking/bm25f.rs:64-181 + the
+        boolean plan of query/plan/mod.rs: each simple term ORs across
+        all searchable fields, terms AND together):
+
+        - membership: a doc matches a term if the term occurs in ANY
+          scored field; all query terms must match (conjunctive AND);
+        - score = sum over (term, field) pairs of
+          idf_union(term) * tf_factor(tf * coeff_field, fieldnorm_field)
+          — IDF from the union-of-fields df (the AllBody approximation),
+          tf saturated against the FIELD's own fieldnorm/avg length,
+          field coefficient inside the saturation;
+        - attribute filters gate unscored; a negated term excludes docs
+          containing it in any field (multi-token negations expand to
+          the cross-field combinations).
+
+        Like the reference, BM25F is computed over simple terms only
+        (computer/mod.rs:310-340 uses query.simple_terms) — phrases
+        raise. field_coeffs maps field name -> tf coefficient (default
+        1.0 for every field incl. the primary text field)."""
+        from pyspark.sql import functions as F
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        extra = list(self.stats.get("field_cols") or [])
+        if not extra:
+            raise ValueError(
+                "index was built without field_cols; use search()")
+        primary = self.stats.get("text_col", "text")
+        fields = [primary] + extra
+        coeffs = {f: 1.0 for f in fields}
+        for f, c in (field_coeffs or {}).items():
+            if f not in coeffs:
+                raise ValueError(f"unknown field {f!r}; index has {fields}")
+            coeffs[f] = float(c)
+        if any(c.kind == "phrase" for c in pq.clauses):
+            raise ValueError("BM25F scores simple terms only")
+        num_docs = self.num_docs
+        avgfn = {primary: self.avg_fieldnorm}
+        ftoks = self.stats.get("field_tokens") or {}
+        for g in extra:
+            avgfn[g] = (ftoks.get(g, 0) or 0) / num_docs
+
+        def key(t: str, f: str) -> str:
+            return t if f == primary else f"f:{f}:{t}"
+
+        text_terms = [t for c in pq.clauses for t in c.tokens
+                      if ":" not in t]
+        attr_terms = [t for c in pq.clauses for t in c.tokens
+                      if ":" in t]
+        union_keys = ["u:" + t for t in text_terms]
+        field_keys = [key(t, f) for t in text_terms for f in fields]
+        dfs = self.term_dfs(list(dict.fromkeys(
+            union_keys + field_keys + attr_terms)))
+        # dead required clause: term absent from every field / filter
+        for c in pq.positive:
+            t = c.tokens[0]
+            df0 = dfs[t if ":" in t else "u:" + t]
+            if df0 == 0:
+                return self._empty_result()
+        fweights = {
+            (t, f): Bm25FWeight(dfs["u:" + t], num_docs, avgfn[f],
+                                coeff=coeffs[f], dtype=dtype)
+            for t in dict.fromkeys(text_terms) for f in fields}
+
+        # negation groups: a doc is excluded when every token of the
+        # group matches; a text token matches in any field, so groups
+        # expand to the cross-field combinations
+        import itertools
+
+        neg_key_groups: list[list[str]] = []
+        for c in pq.negative:
+            per_tok = [[c_tok] if ":" in c_tok
+                       else [key(c_tok, f) for f in fields]
+                       for c_tok in c.tokens]
+            neg_key_groups.extend(
+                list(combo) for combo in itertools.product(*per_tok))
+
+        scan_terms = list(dict.fromkeys(
+            field_keys + attr_terms
+            + [t for g in neg_key_groups for t in g]))
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(scan_terms))
+                    .select(*_POSTING_COLS))
+        seg_k = k + offset
+        clauses = list(pq.clauses)
+
+        def eval_segment(pdf, seg: int):
+            import pandas as pd
+
+            empty_tp = TermPostings([], [], [], [], [], [])
+            by_term = {t: _build_term_postings(g)
+                       for t, g in pdf.groupby("term")}
+            specs = []
+            for c in clauses:
+                if c.kind == "not":
+                    continue
+                t = c.tokens[0]
+                if c.kind == "filter" or ":" in t:
+                    specs.append(
+                        ("filter", by_term.get(t, empty_tp), None))
+                else:
+                    members = [(by_term.get(key(t, f), empty_tp),
+                                fweights[(t, f)]) for f in fields]
+                    specs.append(("or", members, None))
+            negs = [[by_term.get(t, empty_tp) for t in g]
+                    for g in neg_key_groups]
+            docs, scores = segment_topk(specs, negs, seg_k, dtype=dtype)
+            return pd.DataFrame({
+                "doc_id": docs.astype("int64"),
+                "score": scores.astype("float64"),
+                "segment_id": np.full(docs.size, seg, dtype="int64"),
+            })
+
+        out_schema = "doc_id long, score double, segment_id long"
+        est_blocks = sum(-(-dfs.get(t, 0) // 128) + 1 for t in scan_terms)
+        if est_blocks <= self.small_query_blocks:
+            def run_all(batches):
+                import pandas as pd
+
+                parts = [p for p in batches if len(p)]
+                if not parts:
+                    return
+                allp = pd.concat(parts, ignore_index=True)
+                for seg, grp in allp.groupby("segment_id"):
+                    yield eval_segment(grp, int(seg))
+
+            local = postings.repartition(1).mapInPandas(
+                run_all, schema=out_schema)
+        else:
+            def run_segment(pdf):
+                import pandas as pd
+
+                if len(pdf) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": [],
+                                         "segment_id": []})
+                return eval_segment(pdf, int(pdf["segment_id"].iloc[0]))
+
+            local = postings.groupBy("segment_id").applyInPandas(
+                run_segment, schema=out_schema)
+        top = local.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            top = top.offset(offset)
+        return top.limit(k).drop("segment_id")
 
     def search_many(self, queries: dict, k: int = TOP_K_DEFAULT,
                     dtype=np.float32, compound_terms: bool | None = None,

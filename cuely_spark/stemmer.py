@@ -159,3 +159,98 @@ def porter_stem(word: str) -> str:
         word = word[:-1]
 
     return word
+
+
+# ---------------------------------------------------------------------------
+# Language-routed stemming (reference: the stemmer is selected by the
+# DETECTED language with English fallback,
+# /root/reference/crates/core/src/schema/text_field.rs:294-326 +
+# tokenizer/fields/stemmed.rs via rust-stemmers). English routes to the
+# classic Porter above; de/fr/es route to light suffix strippers in the
+# spirit of the Snowball "light" variants (documented deviation: not
+# Snowball-exact — no stemming library ships in this environment).
+# Inputs arrive lowercase + NFKD-diacritic-stripped (the Default
+# tokenizer chain), so the rules below work on stripped forms
+# (ä→a, é→e) — the same shape Snowball sees after its own
+# umlaut/accent preprocessing.
+
+def _light_stem(word: str, suffixes: tuple[str, ...],
+                min_stem: int) -> str:
+    for suf in suffixes:  # longest-first order in the tables below
+        if word.endswith(suf) and len(word) - len(suf) >= min_stem:
+            return word[: len(word) - len(suf)]
+    return word
+
+
+def german_stem(word: str) -> str:
+    """German light stemmer: the noun/adjective declension suffixes of
+    Snowball German step 1 (e/em/en/ern/er/es) plus plural -s."""
+    if len(word) <= 3 or not word.isalpha():
+        return word
+    word = _light_stem(word, ("ern", "em", "en", "er", "es", "e"), 4)
+    if word.endswith("s") and len(word) >= 5:
+        word = word[:-1]
+    return word
+
+
+def french_stem(word: str) -> str:
+    """French light stemmer: common derivational/inflectional endings
+    (accent-stripped forms: ée→ee, é→e)."""
+    if len(word) <= 3 or not word.isalpha():
+        return word
+    return _light_stem(
+        word,
+        ("issement", "issants", "issant", "ements", "ement",
+         "euses", "euse", "ances", "ance", "ions", "ion",
+         "ees", "ee", "es", "er", "ez", "e", "s"),
+        3)
+
+
+def spanish_stem(word: str) -> str:
+    """Spanish light stemmer: plural/gender endings and frequent verb /
+    derivational suffixes."""
+    if len(word) <= 3 or not word.isalpha():
+        return word
+    return _light_stem(
+        word,
+        ("amientos", "amiento", "aciones", "acion", "adores", "ador",
+         "idades", "idad", "mente", "istas", "ista", "osos", "osas",
+         "oso", "osa", "ando", "iendo", "ar", "er", "ir",
+         "as", "os", "es", "a", "o", "e", "s"),
+        3)
+
+
+STEMMERS = {
+    "en": porter_stem,
+    "de": german_stem,
+    "fr": french_stem,
+    "es": spanish_stem,
+}
+
+# marker words per language for query-side detection (the whatlang
+# analog, crates/core/src/query/mod.rs:77-154 detects the query's
+# language before choosing per-field query tokenizers); tiny on purpose
+# — queries are short, and the explicit `lang=` parameter wins
+_LANG_MARKERS = {
+    "de": frozenset({"der", "die", "das", "und", "ist", "nicht", "ein"}),
+    "en": frozenset({"the", "and", "of", "is", "a", "to", "in"}),
+    "es": frozenset({"el", "los", "las", "de", "es", "una", "y"}),
+    "fr": frozenset({"le", "les", "et", "est", "une", "des", "du"}),
+}
+
+
+def detect_lang(tokens, default: str = "en") -> str:
+    """Best marker-word overlap, ties/no-signal -> `default` (the
+    reference falls back to English when detection fails)."""
+    best, best_n = default, 0
+    for lang in sorted(_LANG_MARKERS):
+        n = sum(1 for t in tokens if t in _LANG_MARKERS[lang])
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def stem_for_lang(word: str, lang: str | None) -> str:
+    """Stem with the language's stemmer; unknown/None -> English
+    (reference fallback: text_field.rs:294-326)."""
+    return STEMMERS.get(lang or "en", porter_stem)(word)

@@ -30,8 +30,12 @@ from .. import fsio
 from ..indexer.build import IndexPaths, segment_kernel, segment_offsets
 from ..indexer.segment import INDEX_ROW_SCHEMA
 
-# live segments are namespaced far above bulk segment ids; each batch
-# owns a contiguous block of MAX_SEGMENTS_PER_BATCH ids
+# live segments are namespaced above any pre-existing bulk segment id;
+# each batch owns a contiguous block of MAX_SEGMENTS_PER_BATCH ids. The
+# floor below only applies when the index root holds no segments yet —
+# otherwise the base is derived from max(existing segment id) + 1 at
+# writer init (and persisted), so live batches can never overwrite bulk
+# partitions however many segments the bulk build produced.
 LIVE_SEG_BASE = 100_000
 MAX_SEGMENTS_PER_BATCH = 1_000
 
@@ -87,8 +91,25 @@ class LiveIndexWriter:
                                         "live_state.json")
         if fsio.exists(self._state_path):
             self.state = fsio.read_json(self._state_path)
+            if "seg_base" not in self.state:  # pre-fix state files
+                self.state["seg_base"] = LIVE_SEG_BASE
         else:
-            self.state = {"next_doc_id": 0, "batches": {}}
+            self.state = {"next_doc_id": 0, "batches": {},
+                          "seg_base": self._derive_seg_base()}
+
+    def _derive_seg_base(self) -> int:
+        """First live segment id: above every segment already present at
+        the root (a bulk build may own ids >= LIVE_SEG_BASE — DESIGN.md
+        plans ~250k segments at 10^12 turns)."""
+        top = -1
+        for base_dir in (self.paths.turns,
+                         os.path.join(self.paths.index, "kind=p")):
+            if not fsio.exists(base_dir):
+                continue
+            for d in fsio.list_subdirs(base_dir):
+                if d.startswith("segment_id="):
+                    top = max(top, int(d.split("=")[1]))
+        return max(LIVE_SEG_BASE, top + 1)
 
     # -- foreachBatch sink -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -110,7 +131,8 @@ class LiveIndexWriter:
             return
         nseg = max(1, min(math.ceil(n / self.rows_per_segment),
                           MAX_SEGMENTS_PER_BATCH))
-        seg_base = LIVE_SEG_BASE + batch_id * MAX_SEGMENTS_PER_BATCH
+        seg_base = (self.state["seg_base"]
+                    + batch_id * MAX_SEGMENTS_PER_BATCH)
 
         # 1) stage-A analog: sort, tag per-partition ordinals, stage
         staging = os.path.join(self.paths.root, "live_staging",

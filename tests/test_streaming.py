@@ -136,3 +136,37 @@ def test_live_index_with_shadow_fields(spark, tmp_path):
     assert r2.stats["ngram_max"] == 3 and r2.stats["stemmed"] is True
     docs, _ = r2.search_collect("new york", k=10, dtype=np.float64)
     assert set(docs.tolist()) == {0, 1}
+
+
+def test_live_seg_base_clears_existing_bulk_segments(spark, tmp_path):
+    """Live batches added next to a bulk index whose segment ids reach
+    past LIVE_SEG_BASE must NOT overwrite bulk partitions: the writer
+    derives its segment base from max(existing segment id) + 1."""
+    import os
+
+    from cuely_spark.streaming import LiveIndexWriter
+    from cuely_spark.streaming.live_index import LIVE_SEG_BASE
+
+    root = tmp_path / "live_base"
+    # simulate a huge bulk build owning ids past the static floor
+    big = LIVE_SEG_BASE + 23_456
+    bulk_turns = root / "turns" / f"segment_id={big}"
+    bulk_post = root / "index" / "kind=p" / f"segment_id={big}"
+    os.makedirs(bulk_turns)
+    os.makedirs(bulk_post)
+    marker = bulk_turns / "keep.txt"
+    marker.write_text("bulk data, do not clobber")
+
+    w = LiveIndexWriter(spark, str(root), text_col="text",
+                        order_cols=("doc_id",))
+    assert w.state["seg_base"] == big + 1
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")],
+        "doc_id long, text string")
+    w.process_batch(b0, 0)
+    assert marker.read_text() == "bulk data, do not clobber"
+    assert all(s > big for s in w.state["batches"]["0"]["segments"])
+    # a second writer instance reuses the persisted base
+    w2 = LiveIndexWriter(spark, str(root), text_col="text",
+                         order_cols=("doc_id",))
+    assert w2.state["seg_base"] == big + 1
