@@ -149,15 +149,20 @@ def segment_kernel(id_col: str, text_col: str,
                    store_positions: bool = True,
                    ngram_max: int = 0,
                    stem: bool = False,
-                   field_cols: tuple[str, ...] = ()):
+                   field_cols: tuple[str, ...] = (),
+                   stem_lang_col: str | None = None):
     """mapInPandas kernel building complete index segments from turns
     rows — shared by the bulk builder (stage B) and the live-index
     micro-batch path. Groups by the segment_id column so Spark's file
     packing can never mix segments; when `offsets` is given, doc ids are
     offsets[segment] + row's id_col (stage-A __ord contract).
     `field_cols`: extra scored text fields (multi-field postings for
-    BM25F — see build_segment_rows)."""
+    BM25F — see build_segment_rows). `stem_lang_col`: column holding
+    per-doc language codes that route stemmed shadow terms to that
+    language's stemmer (see build_segment_rows)."""
     keep_cols = [id_col, text_col, *attr_cols, *field_cols]
+    if stem_lang_col and stem_lang_col not in keep_cols:
+        keep_cols.append(stem_lang_col)
 
     def kernel(batches):
         import pandas as pd
@@ -182,6 +187,8 @@ def segment_kernel(id_col: str, text_col: str,
                 ]
             extra = ({g: allp[g].tolist() for g in field_cols}
                      if field_cols else None)
+            langs = (allp[stem_lang_col].tolist()
+                     if stem_lang_col else None)
             yield build_segment_rows(
                 ids,
                 allp[text_col].tolist(),
@@ -191,6 +198,7 @@ def segment_kernel(id_col: str, text_col: str,
                 ngram_max=ngram_max,
                 stem=stem,
                 extra_fields=extra,
+                stem_langs=langs,
             )
     return kernel
 
@@ -219,6 +227,7 @@ def build_index(
     stem: bool = False,
     score_col: str | None = None,
     field_cols: tuple[str, ...] = (),
+    stem_lang_col: str | None = None,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -315,7 +324,7 @@ def build_index(
     field_cols = tuple(field_cols)
     seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
                                 store_positions, ngram_max, stem,
-                                field_cols)
+                                field_cols, stem_lang_col)
 
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
@@ -327,8 +336,9 @@ def build_index(
             .parquet(*[
                 os.path.join(paths.turns, f"segment_id={s}") for s in segs
             ])
-            .select(id_col, text_col, "segment_id", *attr_cols,
-                    *field_cols)
+            .select(*dict.fromkeys(
+                [id_col, text_col, "segment_id", *attr_cols, *field_cols]
+                + ([stem_lang_col] if stem_lang_col else [])))
         )
         rows = src.mapInPandas(seg_kernel, schema=INDEX_ROW_SCHEMA)
         # small row groups: posting rows are term-sorted, so parquet
@@ -405,6 +415,7 @@ def build_index(
         "store_positions": store_positions,
         "ngram_max": ngram_max,
         "stemmed": stem,
+        "stem_lang_col": stem_lang_col,
         "score_sorted_by": score_col,
         "text_col": text_col,
         "field_cols": list(field_cols),

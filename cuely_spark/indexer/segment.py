@@ -110,8 +110,15 @@ def build_segment_rows(
     ngram_max: int = 0,
     stem: bool = False,
     extra_fields: dict[str, list] | None = None,
+    stem_langs: list | None = None,
 ) -> pd.DataFrame:
     """Build all index rows for one segment from (doc_id, text) pairs.
+
+    `stem_langs` (optional, aligned with texts, requires stem=True):
+    per-doc language codes routing each doc's stemmed shadow terms to
+    that language's stemmer (en/de/fr/es; unknown -> English fallback,
+    reference: text_field.rs:294-326). None = classic English Porter
+    for every doc.
 
     `attr_tokens` (optional, aligned with texts): per-doc list of
     synthetic attribute terms like "role:user" — indexed as unscored
@@ -150,7 +157,8 @@ def build_segment_rows(
     try:
         return _build_segment_rows_inner(doc_ids, texts, segment_id,
                                          store_positions, attr_tokens,
-                                         ngram_max, stem, extra_fields)
+                                         ngram_max, stem, extra_fields,
+                                         stem_langs)
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -210,6 +218,7 @@ def _build_segment_rows_inner(
     ngram_max: int = 0,
     stem: bool = False,
     extra_fields: dict[str, list] | None = None,
+    stem_langs: list | None = None,
 ) -> pd.DataFrame:
     n = doc_ids.size
 
@@ -273,15 +282,30 @@ def _build_segment_rows_inner(
     text_docs, text_pos = tok_docs, tok_pos
 
     if stem and total:
-        # stemmed shadow postings "s:<porter_stem>" (reference indexes
-        # Snowball-stemmed shadow fields, schema/text_field.rs:294-326);
-        # stems computed once per unique token, then gathered
-        from ..stemmer import porter_stem
+        # stemmed shadow postings "s:<stem>" (reference indexes
+        # Snowball-stemmed shadow fields selected by detected language
+        # with English fallback, schema/text_field.rs:294-326); stems
+        # computed once per unique (token, lang), then gathered
+        from ..stemmer import porter_stem, stem_for_lang
 
-        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-        stems = np.asarray(["s:" + porter_stem(u) for u in uniq],
-                           dtype=object)
-        s_flat = stems[inv]
+        if stem_langs is None:
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            stems = np.asarray(["s:" + porter_stem(u) for u in uniq],
+                               dtype=object)
+            s_flat = stems[inv]
+        else:
+            doc_langs = np.asarray([stem_langs[i] for i in order],
+                                   dtype=object)
+            tok_langs = np.repeat(doc_langs, lens)
+            s_flat = np.empty(total, dtype=object)
+            for lg in np.unique(tok_langs.astype(str)):
+                m = tok_langs == lg
+                sub = flat[m].astype(str)
+                uniq, inv = np.unique(sub, return_inverse=True)
+                stems = np.asarray(
+                    ["s:" + stem_for_lang(u, lg) for u in uniq],
+                    dtype=object)
+                s_flat[m] = stems[inv]
         terms_arr = np.concatenate([terms_arr, s_flat])
         tok_docs = np.concatenate([tok_docs, text_docs])
         tok_pos = np.concatenate([tok_pos, text_pos])

@@ -184,7 +184,8 @@ class IndexReader:
     def _plan_alternatives(self, pq: ParsedQuery,
                            compound_terms: bool | None = None,
                            stemmed: bool | None = None,
-                           occur: str = "must"):
+                           occur: str = "must",
+                           lang: str | None = None):
         """(compounds, c_terms): clause-index -> alternative shadow terms
         (bigram/trigram compounds per plan/mod.rs sliding windows, plus
         the "s:"+porter_stem shadow when the index is stemmed).
@@ -205,12 +206,22 @@ class IndexReader:
         use_stem = (stemmed if stemmed is not None
                     else bool(self.stats.get("stemmed")))
         if use_stem and occur != "should":
-            from ..stemmer import porter_stem
+            from ..stemmer import detect_lang, porter_stem, stem_for_lang
 
+            if self.stats.get("stem_lang_col"):
+                # language-routed index: stem the query with the query's
+                # language — explicit `lang` wins, else marker detection
+                # with English fallback (the whatlang analog,
+                # query/mod.rs:77-154 + text_field.rs:294-326)
+                qlang = lang or detect_lang(
+                    [t for c in pq.clauses for t in c.tokens])
+                stem_q = lambda t: stem_for_lang(t, qlang)  # noqa: E731
+            else:
+                stem_q = porter_stem
             for i, c in enumerate(pq.clauses):
                 if c.kind == "term":
                     compounds.setdefault(i, []).append(
-                        "s:" + porter_stem(c.tokens[0]))
+                        "s:" + stem_q(c.tokens[0]))
         c_terms = [t for alts in compounds.values() for t in alts]
         return compounds, c_terms
 
@@ -255,7 +266,8 @@ class IndexReader:
                occur: str = "must", max_docs_per_segment: int | None = None,
                offset: int = 0, should: str | ParsedQuery | None = None,
                compound_terms: bool | None = None,
-               stemmed: bool | None = None):
+               stemmed: bool | None = None,
+               lang: str | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -273,10 +285,12 @@ class IndexReader:
         bigram/trigram compounds — "new york" also matches docs whose
         bigram field holds "newyork" (plan/mod.rs:223-300). Defaults to
         on iff the index was built with ngram_max >= 2.
-        stemmed: each simple term also ORs with its "s:"+porter_stem
-        shadow term, so "running" matches docs containing "run"
-        (reference stemmed fields, schema/text_field.rs:294-326).
-        Defaults to on iff the index was built with stem=True.
+        stemmed: each simple term also ORs with its "s:"+stem shadow
+        term, so "running" matches docs containing "run" (reference
+        stemmed fields, schema/text_field.rs:294-326). Defaults to on
+        iff the index was built with stem=True. On a language-routed
+        index (built with stem_lang_col) the stemmer follows `lang`
+        (or marker-based query-language detection, English fallback).
         max_docs_per_segment: ShortCircuit cap — consider only the first
         N candidate docs per segment in doc order (reference default
         250_000, config/defaults.rs:38-40)."""
@@ -295,7 +309,7 @@ class IndexReader:
                     "negations belong in the must query, not in should")
         s_terms = spq.all_terms() if spq is not None else []
         compounds, c_terms = self._plan_alternatives(
-            pq, compound_terms, stemmed, occur)
+            pq, compound_terms, stemmed, occur, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms)))
         if occur == "should":
@@ -704,7 +718,8 @@ class IndexReader:
     # ------------------------------------------------------------------
     def count(self, query: str | ParsedQuery,
               compound_terms: bool | None = None,
-              stemmed: bool | None = None) -> int:
+              stemmed: bool | None = None,
+              lang: str | None = None) -> int:
         """Exact match count (reference Count collector). Applies the
         same compound/stemmed augmentation defaults as search(), so
         count(q) == number of rows search(q, k=num_docs) returns."""
@@ -712,7 +727,7 @@ class IndexReader:
 
         pq = parse_query(query) if isinstance(query, str) else query
         compounds, c_terms = self._plan_alternatives(
-            pq, compound_terms, stemmed)
+            pq, compound_terms, stemmed, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + c_terms)))
         if self._dead_clause(pq, compounds, dfs):

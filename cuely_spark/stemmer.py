@@ -201,7 +201,7 @@ def french_stem(word: str) -> str:
     return _light_stem(
         word,
         ("issement", "issants", "issant", "ements", "ement",
-         "euses", "euse", "ances", "ance", "ions", "ion",
+         "euses", "euse", "ances", "ance", "ions", "ion", "ons", "on",
          "ees", "ee", "es", "er", "ez", "e", "s"),
         3)
 

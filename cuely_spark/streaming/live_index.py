@@ -78,7 +78,8 @@ class LiveIndexWriter:
                  text_col: str = "text",
                  order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
                  rows_per_segment: int = 100_000,
-                 ngram_max: int = 0, stem: bool = False):
+                 ngram_max: int = 0, stem: bool = False,
+                 stem_lang_col: str | None = None):
         self.spark = spark
         self.paths = IndexPaths(root)
         self.text_col = text_col
@@ -86,6 +87,7 @@ class LiveIndexWriter:
         self.rows_per_segment = rows_per_segment
         self.ngram_max = ngram_max
         self.stem = stem
+        self.stem_lang_col = stem_lang_col
         fsio.makedirs(self.paths.manifest_dir)
         self._state_path = os.path.join(self.paths.manifest_dir,
                                         "live_state.json")
@@ -174,10 +176,14 @@ class LiveIndexWriter:
         src = (self.spark.read.option("basePath", self.paths.turns)
                .parquet(*[os.path.join(self.paths.turns,
                                        f"segment_id={s}") for s in segs])
-               .select("doc_id", self.text_col, "segment_id"))
+               .select(*dict.fromkeys(
+                   ["doc_id", self.text_col, "segment_id"]
+                   + ([self.stem_lang_col] if self.stem_lang_col
+                      else []))))
         rows = src.mapInPandas(
             segment_kernel("doc_id", self.text_col,
-                           ngram_max=self.ngram_max, stem=self.stem),
+                           ngram_max=self.ngram_max, stem=self.stem,
+                           stem_lang_col=self.stem_lang_col),
             schema=INDEX_ROW_SCHEMA)
         (rows.write.mode("overwrite")
              .option("parquet.block.size", 2 * 1024 * 1024)
@@ -198,7 +204,8 @@ class LiveIndexWriter:
             self._incremental_stats(segs)
 
     def _stat_flags(self) -> dict:
-        return {"ngram_max": self.ngram_max, "stemmed": self.stem}
+        return {"ngram_max": self.ngram_max, "stemmed": self.stem,
+                "stem_lang_col": self.stem_lang_col}
 
     def _incremental_stats(self, batch_segs: list[int]) -> None:
         """Fold one batch's term/global stats into the index-level stats
@@ -242,6 +249,7 @@ class LiveIndexWriter:
         stats["live"] = True
         stats["ngram_max"] = self.ngram_max
         stats["stemmed"] = self.stem
+        stats["stem_lang_col"] = self.stem_lang_col
         fsio.write_json(paths.stats, stats)
 
     def sink(self):
