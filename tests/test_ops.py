@@ -276,3 +276,50 @@ def test_near_dup_clusters_and_canonical(spark):
     kept = {r["doc_id"] for r in
             canonical_docs(docs, near_dup_clusters(pairs)).collect()}
     assert kept == {0, 1, 4, 5, 7, 8, 10}
+
+
+def test_ngram_lsh_subset_of_quadratic_and_no_cartesian(spark, docs_df):
+    """The gated low-threshold n-gram path (minhash_lsh_pairs with wide
+    banding) returns a subset of the quadratic exact-jaccard baseline
+    with identical jaccard values, recalls the planted dups, and its
+    plan has no cartesian/nested-loop join (the 100-TB criterion). The
+    quadratic ngram_jaccard_pairs stays pytest-only — never gated."""
+    from cuely_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    lsh = minhash_lsh_pairs(docs_df, num_hashes=32, bands=16,
+                            threshold=0.12)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in lsh.collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs_df,
+                                          threshold=0.12).collect()}
+    assert set(got) <= set(exact)
+    for pair, v in got.items():
+        assert v == exact[pair]
+    assert (0, 1) in got and got[(0, 1)] == 1.0   # exact dup
+    assert (0, 2) in got                          # near dup recalled
+
+
+def test_gated_dedup_plans_are_bucketed(spark, docs_df, emb_df):
+    """Every pair-generating dedup op behind a driver gate must run a
+    bucketed (band-join) plan — no cartesian/nested-loop anywhere."""
+    from cuely_spark.ops.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    gated = [
+        minhash_lsh_pairs(docs_df, threshold=0.8),
+        minhash_lsh_pairs(docs_df, num_hashes=32, bands=16,
+                          threshold=0.12),
+        simhash_near_dup_pairs(docs_df, bits=60, bands=4, max_hamming=3),
+        embedding_near_dup_pairs(emb_df, threshold=0.5, bands=16,
+                                 band_bits=2),
+    ]
+    for df in gated:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
