@@ -399,6 +399,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "snippet"))
     out["ft_snippets"] = ft_snippets
 
+    def ft_optic(spark, sf_dir):
+        """Optics rules on top of BM25: attribute + term matchers with
+        boost/downrank accumulation and a discard rule, applied with
+        the reference's multiplier semantics before top-k."""
+        import numpy as np
+
+        from cuely_spark.queryengine.optic import Rule
+
+        r = _reader(spark, sf_dir)
+        rules = [Rule("lang:de", "boost", 0.5),
+                 Rule("window", "boost", 0.25),
+                 Rule("source:src1", "downrank", 2.0),
+                 Rule("lang:zh", "discard")]
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64,
+                       optic=rules)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_optic"] = ft_optic
+
     def ft_bm25f(spark, sf_dir):
         """BM25F over two fields (text + derived title): union-field
         IDF, per-field fieldnorms, title tf weighted 2x inside the
@@ -620,6 +639,23 @@ FROM fullc, d"""
     out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
                                          ngram_max=3)
     out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
+    from cuely_spark.oracle_sql import TOKEN_RE
+    _tok_has = (lambda t: "list_contains(regexp_extract_all(lower("
+                f"d.text), '{TOKEN_RE}'), '{t}')")
+    out["ft_optic"] = f"""
+WITH m AS (
+  SELECT b.doc_id, b.score,
+         (CASE WHEN lower(d.lang) = 'de' THEN 0.5 ELSE 0 END
+          + CASE WHEN {_tok_has('window')} THEN 0.25 ELSE 0 END) AS boost,
+         (CASE WHEN lower(d.source) = 'src1' THEN 2.0 ELSE 0 END) AS down
+  FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
+  JOIN documents d USING (doc_id)
+  WHERE lower(d.lang) != 'zh'
+)
+SELECT doc_id,
+       round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)
+                          ELSE boost - down + 1.0 END, 4) AS score
+FROM m"""
     from cuely_spark.oracle_sql import bm25f_search_sql
     title_expr = ("source || ' ' || array_to_string("
                   "regexp_split_to_array(trim(text), '\\s+')[1:2], ' ')")

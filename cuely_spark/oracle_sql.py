@@ -113,7 +113,8 @@ def bm25_search_sql(query: str, k: int | None = 20,
                     table: str = "documents", text_col: str = "text",
                     id_col: str = "doc_id", occur: str = "must",
                     should: str | None = None, offset: int = 0,
-                    ngram_max: int = 0) -> str:
+                    ngram_max: int = 0,
+                    round_to: int | None = 4) -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
     k=None returns ALL matching docs (no LIMIT).
     occur="should" scores the disjunction (term clauses only).
@@ -233,13 +234,16 @@ dfs AS (
             f"AND tok.term = {_q(t)})" for t in c.tokens)
         exists_conds.append(f"NOT ({inner})")
 
+    raw_score = ' + '.join(score_terms)
+    score_expr = (f"round({raw_score}, {round_to})"
+                  if round_to is not None else f"({raw_score})")
     sql = f"""WITH {', '.join(ctes)},
 cand AS (
   SELECT cand.doc_id, cand.fnq FROM dlq cand
   WHERE {' AND '.join(exists_conds)}
 )
 SELECT cand.doc_id AS doc_id,
-       round({' + '.join(score_terms)}, 4) AS score
+       {score_expr} AS score
 FROM cand {' '.join(joins)}
 ORDER BY score DESC, doc_id ASC"""
     if k is not None:

@@ -267,7 +267,8 @@ class IndexReader:
                offset: int = 0, should: str | ParsedQuery | None = None,
                compound_terms: bool | None = None,
                stemmed: bool | None = None,
-               lang: str | None = None):
+               lang: str | None = None,
+               optic: list | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -293,10 +294,27 @@ class IndexReader:
         (or marker-based query-language detection, English fallback).
         max_docs_per_segment: ShortCircuit cap — consider only the first
         N candidate docs per segment in doc order (reference default
-        250_000, config/defaults.rs:38-40)."""
+        250_000, config/defaults.rs:38-40).
+        optic: list of :class:`.optic.Rule` — boost/downrank rules
+        multiply matching docs' scores BEFORE top-k selection with the
+        reference's accumulation semantics (computer/mod.rs:471-497);
+        discard rules exclude matching docs like MustNot groups
+        (optic.rs:62-77)."""
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
+        boost_rules: list = []
+        discard_groups: list = []
+        rule_terms: list[str] = []
+        if optic:
+            from .optic import compile_rules
+
+            if occur == "should":
+                raise ValueError("optic rules require occur='must'")
+            boost_rules, discard_groups = compile_rules(optic)
+            rule_terms = list(dict.fromkeys(
+                [t for _, ts in boost_rules for t in ts]
+                + [t for g in discard_groups for t in g]))
         spq = None
         if should is not None:
             if occur == "should":
@@ -311,7 +329,7 @@ class IndexReader:
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
-            pq.all_terms() + s_terms + c_terms)))
+            pq.all_terms() + s_terms + c_terms + rule_terms)))
         if occur == "should":
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
@@ -330,7 +348,8 @@ class IndexReader:
             spq is not None
             and any(c.kind == "phrase" for c in spq.positive))
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
-        terms = list(dict.fromkeys(pq.all_terms() + s_terms + c_terms))
+        terms = list(dict.fromkeys(
+            pq.all_terms() + s_terms + c_terms + rule_terms))
         seg_k = k + offset  # each segment must surface the skipped page
 
         postings = (self.postings_df
@@ -351,10 +370,15 @@ class IndexReader:
             else:
                 sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                           if spq is not None else None)
+                empty_tp = TermPostings([], [], [], [], [], [])
+                negs = negs + [[by_term.get(t, empty_tp) for t in grp]
+                               for grp in discard_groups]
+                bspecs = [(f, [by_term.get(t, empty_tp) for t in ts])
+                          for f, ts in boost_rules] or None
                 docs, scores = segment_topk(
                     specs, negs, seg_k, dtype=dtype,
                     max_docs=max_docs_per_segment,
-                    should_specs=sspecs)
+                    should_specs=sspecs, boost_specs=bspecs)
             return pd.DataFrame({
                 "doc_id": docs.astype("int64"),
                 "score": scores.astype("float64"),

@@ -402,6 +402,7 @@ def segment_topk(
     dtype=np.float32,
     max_docs: int | None = None,
     should_specs: list[tuple] | None = None,
+    boost_specs: list[tuple] | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -417,6 +418,15 @@ def segment_topk(
         Occur composition: must gates, should scores,
         crates/tantivy/src/query/boolean_query/boolean_weight.rs:107-184;
         RequiredOptionalScorer semantics).
+    boost_specs: optic-rule boosts [(factor, [TermPostings, ...]), ...]
+        — a rule matches a doc when EVERY listed posting list contains
+        it; factor > 0 accumulates into `boost`, factor < 0 into
+        `downrank` (|factor|), and the final multiplier is
+        1/(1 + downrank - boost) when downrank > boost else
+        boost - downrank + 1, applied to the doc's total BEFORE top-k
+        selection (reference: optic rule boosts,
+        crates/core/src/ranking/computer/mod.rs:471-497 applied in
+        ranking/initial.rs:87-88).
     A missing Must term in this segment (TermPostings with 0 blocks)
     makes the conjunction empty.
     Returns (doc_ids, scores) local top-k.
@@ -436,7 +446,7 @@ def segment_topk(
     # fast path: single term clause, no negation/should -> block-max WAND
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
             and not mustnot_groups and max_docs is None
-            and not should_specs):
+            and not should_specs and not boost_specs):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
@@ -535,6 +545,29 @@ def segment_topk(
             contrib = np.zeros(cand.size, dtype=d)
             contrib[pos] = w.score(fnids, tfs[good])
             total = (total + contrib).astype(d)
+
+    # optic boosts: accumulate per-doc boost/downrank over matching
+    # rules, multiply before the top-k cut (f64 accumulation like the
+    # reference's f64 Score total)
+    if boost_specs:
+        boost = np.zeros(cand.size, dtype=np.float64)
+        down = np.zeros(cand.size, dtype=np.float64)
+        for factor, tps in boost_specs:
+            m = np.ones(cand.size, dtype=bool)
+            for tp in tps:
+                if tp.nblocks == 0:
+                    m[:] = False
+                    break
+                _, _, found = tp.lookup(cand)
+                m &= found
+            if factor >= 0:
+                boost[m] += factor
+            else:
+                down[m] += -factor
+        mult = np.where(down > boost,
+                        1.0 / (1.0 + down - boost),
+                        boost - down + 1.0)
+        total = (total.astype(np.float64) * mult).astype(d)
 
     return _merge_topk(cand, total, k)
 

@@ -241,3 +241,43 @@ def test_count_consistent_with_search_on_augmented_index(
                        compound_terms=False, stemmed=False).count()
     assert r.count("new york", compound_terms=False,
                    stemmed=False) == n_plain
+
+
+def test_optic_rules_validation_and_boost(spark, tmp_path):
+    """Optic rules: boost/downrank multiplier semantics
+    (computer/mod.rs:471-497) and matcher validation."""
+    import numpy as np
+    import pytest
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.queryengine.optic import Rule, compile_rules
+
+    with pytest.raises(ValueError):
+        Rule('"a phrase"', "boost", 2.0).parsed()
+    with pytest.raises(ValueError):
+        Rule("-negated", "boost", 2.0).parsed()
+    with pytest.raises(ValueError):
+        compile_rules([Rule("x", "explode", 1.0)])
+
+    rows = [(0, "alpha beta", "u"), (1, "alpha beta", "v"),
+            (2, "alpha beta gamma", "u"), (3, "alpha only", "v")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, role string")
+    out = str(tmp_path / "optic_idx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                rows_per_segment=10, num_jobs=1, attr_cols=("role",))
+    r = IndexReader(spark, out)
+    rules = [Rule("role:u", "boost", 1.0),        # docs 0, 2
+             Rule("gamma", "downrank", 3.0),      # doc 2
+             Rule("role:v beta", "discard")]      # doc 1 (both match)
+    res = {row["doc_id"]: row["score"]
+           for row in r.search("alpha", k=10, dtype=np.float64,
+                               optic=rules).collect()}
+    base = {row["doc_id"]: row["score"]
+            for row in r.search("alpha", k=10,
+                                dtype=np.float64).collect()}
+    assert set(res) == {0, 2, 3}                  # doc 1 discarded
+    assert res[0] == base[0] * 2.0                # boost 1 -> x2
+    assert res[3] == base[3]                      # no rule matches
+    assert res[2] == base[2] / 3.0                # down 3 > boost 1 -> 1/(1+2)
