@@ -189,8 +189,14 @@ def compound_alternatives(pq: ParsedQuery,
                 toks = [clauses[k].tokens[0]
                         for k in range(start, end + 1)
                         if k < len(clauses) and clauses[k].kind == "term"]
-                if len(toks) < 2:
-                    continue  # a 1-token "compound" is the term itself
+                if not toks:
+                    continue
+                # 1-token windows (non-simple neighbors shrank them) are
+                # KEPT like the reference (!compounds.is_empty(),
+                # plan/mod.rs:223-300): "b:term" is a distinct shadow
+                # term — indexed only for docs whose whole field is that
+                # token (the ngram.rs short-doc fill) — and ORing it
+                # adds score for those docs
                 compound = "".join(toks)
                 for pre in prefixes:
                     t = pre + compound

@@ -281,3 +281,21 @@ def test_optic_rules_validation_and_boost(spark, tmp_path):
     assert res[0] == base[0] * 2.0                # boost 1 -> x2
     assert res[3] == base[3]                      # no rule matches
     assert res[2] == base[2] / 3.0                # down 3 > boost 1 -> 1/(1+2)
+
+
+def test_compound_single_token_window_kept():
+    """A window shrunk to one simple token by a non-simple neighbor
+    still emits its compound (reference keeps !compounds.is_empty():
+    b:<term> is the ngram short-doc shadow, plan/mod.rs:223-300)."""
+    from cuely_spark.queryengine.parser import (
+        compound_alternatives,
+        parse_query,
+    )
+
+    alts = compound_alternatives(parse_query('merge "a b" table'), 2)
+    assert "b:merge" in alts[0]          # window crossed the phrase
+    assert "b:table" in alts[2]
+    # pure simple-term queries are unchanged: multi-token windows only
+    alts2 = compound_alternatives(parse_query("scan merge table"), 2)
+    assert all(not a.endswith(":scan") for a in alts2.get(0, []))
+    assert "b:scanmerge" in alts2[0]
