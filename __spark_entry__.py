@@ -399,6 +399,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "snippet"))
     out["ft_snippets"] = ft_snippets
 
+    def ft_signals(spark, sf_dir):
+        """First-class text signals (SignalComputer analog): bm25,
+        coverage, idf_sum per doc matching any query term."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        res = r.signals("merge window dup", dtype=np.float64)
+        return res.select("doc_id",
+                          F.round(F.col("bm25"), 4).alias("bm25"),
+                          F.round(F.col("coverage"), 6).alias("coverage"),
+                          F.round(F.col("idf_sum"), 4).alias("idf_sum"))
+    out["ft_signals"] = ft_signals
+
     def ft_optic(spark, sf_dir):
         """Optics rules on top of BM25: attribute + term matchers with
         boost/downrank accumulation and a discard rule, applied with
@@ -639,6 +652,8 @@ FROM fullc, d"""
     out["ft_compound"] = bm25_search_sql("scan merge table", k=None,
                                          ngram_max=3)
     out["ft_sorted_search"] = bm25_search_sql("merge table", k=None)
+    from cuely_spark.oracle_sql import signals_sql
+    out["ft_signals"] = signals_sql("merge window dup")
     from cuely_spark.oracle_sql import TOKEN_RE
     _tok_has = (lambda t: "list_contains(regexp_extract_all(lower("
                 f"d.text), '{TOKEN_RE}'), '{t}')")

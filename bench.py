@@ -115,6 +115,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
     doc_queries: dict[str, float] = {}
     qs = entry.queries()
     for name in ["ft_topk20", "ft_and_all", "ft_phrase_all",
+                 "ft_bm25f", "ft_optic",
                  "knn_topk", "dedup_simhash", "text_quality"]:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (includes doc index build)
@@ -123,24 +124,51 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
         doc_queries[name] = round(time.time() - tq, 4)
 
     p50 = statistics.median(sorted(queries.values()))
+    all_queries = {**queries, **doc_queries}
     out = {
         "metric": "bm25_query_p50",
         "value": round(p50, 4),
         "unit": "sec",
-        "queries": {**queries, **doc_queries},
+        "queries": all_queries,
         "sf": sf_of(sf_dir),
         "cores": cores,
         "task_cpus": task_cpus,
         "n_turns": n_turns,
+        "reps": reps,
         "build_sec": round(build_sec, 2),
         "build_turns_per_sec": round(n_turns / build_sec, 1),
+        "regression_vs_prev": _regression_vs_prev(all_queries),
         "index_stats": r.stats,
     }
     spark.stop()
     return out
 
 
-def run_scaling(sf_dir: str, n_turns: int, reps: int = 2) -> None:
+def _regression_vs_prev(queries: dict[str, float]) -> dict:
+    """Per-query ratio vs the newest BENCH_r*.json in the repo (>1 =
+    slower than last round) — the round-over-round regression column.
+    Run-to-run noise on this VM is 2-3x, so single ratios flag
+    candidates; only a ratio that persists across reps is a regression."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return {}
+    try:
+        with open(files[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    ratios = {}
+    for name, sec in queries.items():
+        old = (prev.get("queries") or {}).get(name)
+        if old:
+            ratios[name] = round(sec / old, 2)
+    return {"baseline": os.path.basename(files[-1]), "ratio": ratios}
+
+
+def run_scaling(sf_dir: str, n_turns: int, reps: int = 3) -> None:
     """Scaling evidence -> BENCH/BASELINE.md.
 
     Configs (cores, task_cpus): (2,1) (4,1) (8,1) (16,1) — the two

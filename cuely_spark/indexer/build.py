@@ -118,8 +118,9 @@ def _write_sorted_turns(
          .parquet(out_path))
 
 
-def segment_offsets(turns_path: str) -> dict[int, int]:
-    """Cumulative doc-id offset per segment from parquet footers.
+def segment_offsets(turns_path: str) -> tuple[dict[int, int], int]:
+    """(cumulative doc-id offset per segment, total rows) from parquet
+    footers.
 
     Driver-side loop over one footer per segment — at very large
     segment counts run the same count as a tiny Spark job over file

@@ -418,6 +418,53 @@ ORDER BY score DESC, doc_id ASC"""
     return sql
 
 
+def signals_sql(query: str, table: str = "documents",
+                text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Per-doc signals oracle: (doc_id, bm25, coverage, idf_sum) for
+    docs matching any query term — mirrors IndexReader.signals
+    (reference semantics computer/mod.rs:61-143)."""
+    pq = parse_query(query)
+    terms = [c.tokens[0] for c in pq.positive]
+    assert all(c.kind == "term" for c in pq.clauses)
+    terms_in = ", ".join(_q(t) for t in terms)
+    ctes = [base_ctes(table, text_col, id_col)]
+    ctes.append(f"""tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+)""")
+    joins = ["CROSS JOIN stats s"]
+    bm25_terms, found_flags, idf_terms, any_conds = [], [], [], []
+    for ci, t in enumerate(terms):
+        a = f"t{ci}"
+        joins.append(f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
+                     f"AND {a}.term = {_q(t)}")
+        bm25_terms.append(
+            f"COALESCE({_idf(t)} * {_tf_factor(f'{a}.tf')}, 0.0)")
+        found_flags.append(
+            f"(CASE WHEN {a}.tf IS NOT NULL THEN 1 ELSE 0 END)")
+        idf_terms.append(
+            f"(CASE WHEN {a}.tf IS NOT NULL THEN {_idf(t)} "
+            f"ELSE 0.0 END)")
+        any_conds.append(
+            f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
+            f"AND tf.term = {_q(t)})")
+    return f"""WITH {', '.join(ctes)},
+cand AS (
+  SELECT cand.doc_id, cand.fnq FROM dlq cand
+  WHERE {' OR '.join(any_conds)}
+)
+SELECT cand.doc_id AS doc_id,
+       round({' + '.join(bm25_terms)}, 4) AS bm25,
+       round(({' + '.join(found_flags)}) / {float(len(terms))}, 6)
+         AS coverage,
+       round({' + '.join(idf_terms)}, 4) AS idf_sum
+FROM cand {' '.join(joins)}"""
+
+
 def count_sql(query: str, table: str = "documents",
               text_col: str = "text", id_col: str = "doc_id") -> str:
     """Exact match count of a query: single row (n)."""

@@ -442,6 +442,51 @@ class IndexReader:
                    .orderBy(F.desc("score"), F.asc("doc_id")))
         return top.drop("segment_id")
 
+    def signals(self, query: str | ParsedQuery, dtype=np.float64):
+        """Per-doc text signals (doc_id, bm25, coverage, idf_sum) for
+        every doc matching at least one query term — the reference's
+        SignalComputer surface (computer/mod.rs:61-143): bm25 = sum of
+        matching contributions, coverage = matched-terms fraction,
+        idf_sum = sum of matched idfs. Feed into blend_signals for
+        beyond-BM25 ranking (coefficient table signals/core/text.rs)."""
+        from pyspark.sql import functions as F
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        if any(c.kind != "term" for c in pq.clauses):
+            raise ValueError("signals() takes simple term queries "
+                             "(reference: query.simple_terms)")
+        terms = [c.tokens[0] for c in pq.positive]
+        dfs = self.term_dfs(terms)
+        weights = self._weights(pq, dfs, dtype)
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(terms))
+                    .select(*_POSTING_COLS))
+
+        def run_segment(pdf):
+            import pandas as pd
+
+            from .kernel import compute_signals
+
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "bm25": [],
+                                     "coverage": [], "idf_sum": []})
+            by_term = {t: _build_term_postings(g)
+                       for t, g in pdf.groupby("term")}
+            empty_tp = TermPostings([], [], [], [], [], [])
+            specs = [(by_term.get(t, empty_tp), weights[t])
+                     for t in terms]
+            docs, bm25, cov, idf = compute_signals(specs, dtype=dtype)
+            return pd.DataFrame({
+                "doc_id": docs.astype("int64"),
+                "bm25": bm25.astype("float64"),
+                "coverage": cov.astype("float64"),
+                "idf_sum": idf.astype("float64")})
+
+        return postings.groupBy("segment_id").applyInPandas(
+            run_segment,
+            schema="doc_id long, bm25 double, coverage double, "
+                   "idf_sum double")
+
     def search_bm25f(self, query: str | ParsedQuery,
                      k: int = TOP_K_DEFAULT, dtype=np.float32,
                      field_coeffs: dict[str, float] | None = None,

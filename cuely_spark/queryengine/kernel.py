@@ -572,6 +572,43 @@ def segment_topk(
     return _merge_topk(cand, total, k)
 
 
+def compute_signals(term_specs: list[tuple], dtype=np.float32):
+    """Per-doc text signals over the union of the query terms' postings
+    — the SignalComputer analog (reference walks every query term's
+    posting list per doc computing Bm25 / Coverage / IdfSum,
+    crates/core/src/ranking/computer/mod.rs:61-143):
+
+    - bm25: sum of matching terms' BM25 contributions (clause order);
+    - coverage: fraction of query terms the doc matches (:89-105);
+    - idf_sum: sum of matched terms' idf weights (:124-143).
+
+    Returns (docs, bm25, coverage, idf_sum); docs = union of all term
+    postings (any-match semantics — signals exist wherever at least one
+    term matches). Exact, no pruning: this is the signal-computation
+    surface a blend consumes, not a top-k query."""
+    d = dtype
+    live = [(tp, w) for tp, w in term_specs if tp.nblocks > 0]
+    if not live:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.astype(d), z.astype(np.float64), z.astype(d)
+    docs = np.unique(np.concatenate(
+        [tp.decode_blocks(np.arange(tp.nblocks))[0] for tp, _ in live]))
+    n_terms = len(term_specs)
+    bm25 = np.zeros(docs.size, dtype=d)
+    matched = np.zeros(docs.size, dtype=np.int64)
+    idf_sum = np.zeros(docs.size, dtype=d)
+    for tp, w in live:
+        tfs, fnids, found = tp.lookup(docs)
+        contrib = np.zeros(docs.size, dtype=d)
+        if found.any():
+            contrib[found] = w.score(fnids[found], tfs[found])
+        bm25 = (bm25 + contrib).astype(d)
+        matched += found
+        idf_sum[found] = (idf_sum[found] + d(w.weight)).astype(d)
+    coverage = matched / float(n_terms)
+    return docs, bm25, coverage, idf_sum
+
+
 def count_matches(
     clause_specs: list[tuple],
     mustnot_groups: list[list[TermPostings]],
