@@ -1,17 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container): the
-deterministic fake decoder derives "pixels"/"samples" from md5 of the
-payload, so schemas, batch shapes, partitioning, and UDF signatures are
-real and tested while the codec itself is a marked substitution point.
-Swap `_decode_image_stub` for a real `PIL.Image.open` (etc.) in
-production — the Spark-side plumbing does not change.
+Decoding is REAL for the formats this container can decode without
+codec libraries:
+
+- **BMP** (24-bit uncompressed) — pure-numpy header parse + row gather;
+- **WAV** (PCM) — stdlib ``wave`` + numpy frombuffer.
+
+Compressed codecs (JPEG/PNG/MP3/H.264) remain a marked substitution
+point: payloads whose magic bytes aren't BMP/WAV fall back to the
+deterministic md5 stub so schemas, batch shapes, partitioning, and UDF
+signatures stay real and tested everywhere. Swap `_decode_image` /
+`_decode_audio`'s fallback branch for PIL/ffmpeg in production — the
+Spark-side plumbing does not change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -29,30 +37,127 @@ MEDIA_SCHEMA = T.StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# real codecs (no external libs)
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> 24-bit uncompressed BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, BGR, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # BGR, flip
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> RGB uint8 (h, w, 3). Pure numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float64 mono samples in [-1, 1), sample_rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width != 2:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    return s, sr
+
+
+# ---------------------------------------------------------------------------
+# decode dispatch: real where the bytes are decodable here, loud stub
+# fallback for compressed codecs (the production substitution point)
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    # SUBSTITUTION POINT: JPEG/PNG need a codec lib (PIL/opencv) not
+    # shipped in this container — deterministic fake pixels keep the
+    # pipeline testable end-to-end
+    seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0]
+    # SUBSTITUTION POINT: MP3/AAC need ffmpeg — deterministic fake
+    seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=int(sample_rate))  # 1 fake second
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic media table matching MEDIA_SCHEMA with REAL
+    payloads: images are 24-bit BMPs, audio is PCM WAV (so the decode
+    path is exercised for real); video payloads stay opaque (frame
+    sampling is plan-level)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(128 + int(rng.integers(0, 256)))
-        rows.append((
-            i, kind, bytearray(payload),
-            int(rng.integers(16, 257)) if kind != "audio" else None,
-            int(rng.integers(16, 257)) if kind != "audio" else None,
-            16000 if kind == "audio" else None,
-            int(rng.integers(1, 64)) if kind == "video" else None,
-        ))
+        if kind == "image":
+            w = int(rng.integers(4, 33))
+            h = int(rng.integers(4, 33))
+            payload = encode_bmp(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            rows.append((i, kind, bytearray(payload), w, h, None, None))
+        elif kind == "audio":
+            sr = 16000
+            nsamp = int(rng.integers(sr // 4, sr))
+            samples = (rng.normal(scale=0.2, size=nsamp)
+                       * 32767).clip(-32768, 32767).astype(np.int16)
+            rows.append((i, kind, bytearray(encode_wav(samples, sr)),
+                         None, None, sr, None))
+        else:
+            payload = rng.bytes(128 + int(rng.integers(0, 256)))
+            rows.append((i, kind, bytearray(payload),
+                         int(rng.integers(16, 257)),
+                         int(rng.integers(16, 257)),
+                         None, int(rng.integers(1, 64))))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
-
-
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder: deterministic fake pixels from md5(payload).
-    Replace with a real image decode (PIL/opencv) in production."""
-    seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
 def extract_image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
@@ -72,7 +177,7 @@ def extract_image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
             for mid, payload, w, h in zip(
                     pdf["media_id"], pdf["payload"],
                     pdf["width"], pdf["height"]):
-                img = _decode_image_stub(bytes(payload), int(w), int(h))
+                img = _decode_image(bytes(payload), int(w), int(h))
                 # nearest-neighbor "resize" to resize_to x resize_to
                 ys = np.linspace(0, img.shape[0] - 1, resize_to).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, resize_to).astype(int)
@@ -108,8 +213,9 @@ def sample_video_frames(media: DataFrame, every: int = 10) -> DataFrame:
 
 
 def audio_chunk_stats(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
-    """(media_id, chunk_idx, rms): STUB 'decode' derives samples from
-    md5(payload); chunking/batching plumbing is real."""
+    """(media_id, chunk_idx, rms): real PCM decode for WAV payloads
+    (md5 stub fallback for compressed codecs); chunked RMS vectorized
+    with reduceat."""
 
     def stats(batches):
         import pandas as pd
@@ -118,11 +224,9 @@ def audio_chunk_stats(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
             mids, chunks, rmss = [], [], []
             for mid, payload, sr in zip(pdf["media_id"], pdf["payload"],
                                         pdf["sample_rate"]):
-                seed = int(hashlib.md5(bytes(payload)).hexdigest()[:8], 16)
-                rng = np.random.default_rng(seed)
                 sr = int(sr)
-                samples = rng.normal(size=sr)  # 1 fake second
-                step = sr * chunk_ms // 1000
+                samples = _decode_audio(bytes(payload), sr)
+                step = max(1, sr * chunk_ms // 1000)
                 # vectorized per-chunk RMS: reduceat over squared samples
                 starts = np.arange(0, samples.size, step)
                 sums = np.add.reduceat(samples ** 2, starts)
