@@ -133,7 +133,12 @@ class TermPostings:
             poss = decode_positions(self.positions[int(b)], tfs)
             ends = np.cumsum(tfs)
             starts = ends - tfs
-            sel = np.flatnonzero(np.isin(docs, cand_docs))
+            # membership via searchsorted (cand_docs sorted): np.isin
+            # would re-sort the candidate array once per block
+            ins = np.searchsorted(cand_docs, docs)
+            ok = ins < cand_docs.size
+            ok[ok] = cand_docs[ins[ok]] == docs[ok]
+            sel = np.flatnonzero(ok)
             if sel.size == 0:
                 continue
             stf = tfs[sel]
