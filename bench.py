@@ -160,6 +160,9 @@ def _regression_vs_prev(queries: dict[str, float]) -> dict:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
+    # the driver wraps bench stdout: the bench dict lives under "parsed"
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
     ratios = {}
     for name, sec in queries.items():
         old = (prev.get("queries") or {}).get(name)
