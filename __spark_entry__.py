@@ -431,6 +431,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_optic"] = ft_optic
 
+    def ft_optic_dnm(spark, sf_dir):
+        """DiscardNonMatching: results must match >= 1 non-discard rule
+        (optic.rs:56-70 Must-union semantics)."""
+        import numpy as np
+
+        from cuely_spark.queryengine.optic import Optic, Rule
+
+        r = _reader(spark, sf_dir)
+        o = Optic(rules=(Rule("lang:de", "boost", 0.5),
+                         Rule("window", "boost", 0.25),
+                         Rule("source:src1", "downrank", 2.0),
+                         Rule("lang:zh", "discard")),
+                  discard_non_matching=True)
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64,
+                       optic=o)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_optic_dnm"] = ft_optic_dnm
+
     def ft_bm25f(spark, sf_dir):
         """BM25F over two fields (text + derived title): union-field
         IDF, per-field fieldnorms, title tf weighted 2x inside the
@@ -666,6 +685,23 @@ WITH m AS (
   FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
   JOIN documents d USING (doc_id)
   WHERE lower(d.lang) != 'zh'
+)
+SELECT doc_id,
+       round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)
+                          ELSE boost - down + 1.0 END, 4) AS score
+FROM m"""
+    # DiscardNonMatching: same rules + Must-union of non-discard matchers
+    out["ft_optic_dnm"] = f"""
+WITH m AS (
+  SELECT b.doc_id, b.score,
+         (CASE WHEN lower(d.lang) = 'de' THEN 0.5 ELSE 0 END
+          + CASE WHEN {_tok_has('window')} THEN 0.25 ELSE 0 END) AS boost,
+         (CASE WHEN lower(d.source) = 'src1' THEN 2.0 ELSE 0 END) AS down
+  FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
+  JOIN documents d USING (doc_id)
+  WHERE lower(d.lang) != 'zh'
+    AND (lower(d.lang) = 'de' OR {_tok_has('window')}
+         OR lower(d.source) = 'src1')
 )
 SELECT doc_id,
        round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)

@@ -306,12 +306,21 @@ class IndexReader:
         boost_rules: list = []
         discard_groups: list = []
         rule_terms: list[str] = []
+        require_groups: list | None = None
         if optic:
-            from .optic import compile_rules
+            from .optic import Optic, compile_rules
 
             if occur == "should":
                 raise ValueError("optic rules require occur='must'")
-            boost_rules, discard_groups = compile_rules(optic)
+            rules = optic.rules if isinstance(optic, Optic) else optic
+            boost_rules, discard_groups = compile_rules(rules)
+            if isinstance(optic, Optic) and optic.discard_non_matching:
+                if not boost_rules:
+                    raise ValueError(
+                        "discard_non_matching needs at least one "
+                        "non-discard rule (the Must union would be "
+                        "empty)")
+                require_groups = [ts for _, ts in boost_rules]
             rule_terms = list(dict.fromkeys(
                 [t for _, ts in boost_rules for t in ts]
                 + [t for g in discard_groups for t in g]))
@@ -375,10 +384,14 @@ class IndexReader:
                                for grp in discard_groups]
                 bspecs = [(f, [by_term.get(t, empty_tp) for t in ts])
                           for f, ts in boost_rules] or None
+                req = ([[by_term.get(t, empty_tp) for t in g]
+                        for g in require_groups]
+                       if require_groups is not None else None)
                 docs, scores = segment_topk(
                     specs, negs, seg_k, dtype=dtype,
                     max_docs=max_docs_per_segment,
-                    should_specs=sspecs, boost_specs=bspecs)
+                    should_specs=sspecs, boost_specs=bspecs,
+                    require_any=req)
             return pd.DataFrame({
                 "doc_id": docs.astype("int64"),
                 "score": scores.astype("float64"),

@@ -408,6 +408,7 @@ def segment_topk(
     max_docs: int | None = None,
     should_specs: list[tuple] | None = None,
     boost_specs: list[tuple] | None = None,
+    require_any: list[list[TermPostings]] | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -432,6 +433,9 @@ def segment_topk(
         selection (reference: optic rule boosts,
         crates/core/src/ranking/computer/mod.rs:471-497 applied in
         ranking/initial.rs:87-88).
+    require_any: DiscardNonMatching gate — candidates must fully match
+        at least ONE of the listed term-groups (reference: optic.rs:
+        56-70 adds a Must union of the non-discard rules' matchers).
     A missing Must term in this segment (TermPostings with 0 blocks)
     makes the conjunction empty.
     Returns (doc_ids, scores) local top-k.
@@ -451,7 +455,8 @@ def segment_topk(
     # fast path: single term clause, no negation/should -> block-max WAND
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
             and not mustnot_groups and max_docs is None
-            and not should_specs and not boost_specs):
+            and not should_specs and not boost_specs
+            and require_any is None):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
@@ -487,6 +492,22 @@ def segment_topk(
             cand = cand[~np.isin(cand, sub, assume_unique=True)]
     if cand.size == 0:
         return empty
+
+    # DiscardNonMatching: keep candidates matching >= 1 rule group
+    if require_any is not None:
+        m = np.zeros(cand.size, dtype=bool)
+        for tps in require_any:
+            g = np.ones(cand.size, dtype=bool)
+            for tp in tps:
+                if tp.nblocks == 0:
+                    g[:] = False
+                    break
+                _, _, found = tp.lookup(cand)
+                g &= found
+            m |= g
+        cand = cand[m]
+        if cand.size == 0:
+            return empty
 
     # score clause by clause in query order (f32 accumulation order)
     total = np.zeros(cand.size, dtype=d)

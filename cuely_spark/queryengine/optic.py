@@ -27,6 +27,17 @@ ACTIONS = ("boost", "downrank", "discard")
 
 
 @dataclass(frozen=True)
+class Optic:
+    """A rule set, optionally with DiscardNonMatching semantics
+    (reference: optic.rs:56-70 — when set, a Must clause is added that
+    is the UNION of all non-discard rules' matchers, so results must
+    match at least one rule; discard rules stay exclusions)."""
+
+    rules: tuple
+    discard_non_matching: bool = False
+
+
+@dataclass(frozen=True)
 class Rule:
     """One optic rule: `matches` query fragment + action.
 

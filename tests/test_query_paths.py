@@ -299,3 +299,33 @@ def test_compound_single_token_window_kept():
     alts2 = compound_alternatives(parse_query("scan merge table"), 2)
     assert all(not a.endswith(":scan") for a in alts2.get(0, []))
     assert "b:scanmerge" in alts2[0]
+
+
+def test_optic_discard_non_matching(spark, tmp_path):
+    """Optic(discard_non_matching=True): results must match at least one
+    non-discard rule (optic.rs:56-70 Must-union semantics)."""
+    import numpy as np
+    import pytest
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.queryengine.optic import Optic, Rule
+
+    rows = [(0, "alpha beta", "u"), (1, "alpha beta", "v"),
+            (2, "alpha gamma", "w"), (3, "alpha only", "v")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, role string")
+    out = str(tmp_path / "optic_dnm_idx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                rows_per_segment=10, num_jobs=1, attr_cols=("role",))
+    r = IndexReader(spark, out)
+    o = Optic(rules=(Rule("role:u", "boost", 1.0),
+                     Rule("gamma", "downrank", 3.0)),
+              discard_non_matching=True)
+    got = {row["doc_id"] for row in
+           r.search("alpha", k=10, dtype=np.float64, optic=o).collect()}
+    assert got == {0, 2}  # 1/3 match no rule -> dropped
+    with pytest.raises(ValueError):
+        r.search("alpha", optic=Optic(
+            rules=(Rule("role:v", "discard"),),
+            discard_non_matching=True))
