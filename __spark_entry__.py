@@ -301,6 +301,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("query", "doc_id",
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_batch_augmented"] = ft_batch_augmented
+
+    def ft_batch_bm25f(spark, sf_dir):
+        """Batch-mode BM25F: multi-field specs alongside a plain-BM25
+        query in one job over the two-field index."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        batch = {
+            "bf_weighted": {"q": "merge src1", "bm25f": True,
+                            "field_coeffs": {"title": 2.0}},
+            "bf_plain_coeffs": {"q": "merge table", "bm25f": True},
+            "plain": "merge table",
+        }
+        res = r.search_many(batch, k=r.num_docs, dtype=np.float64)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_batch_bm25f"] = ft_batch_bm25f
     for name, q in FT_COUNTS.items():
         out[name] = _ft_count(q)
 
@@ -713,6 +732,17 @@ FROM m"""
     out["ft_bm25f"] = bm25f_search_sql(
         "merge src1", fields={"text": "text", "title": title_expr},
         coeffs={"title": 2.0}, k=None)
+    _f2 = {"text": "text", "title": title_expr}
+    out["ft_batch_bm25f"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, doc_id, score FROM (" + sql + ")"
+        for name, sql in [
+            ("bf_weighted",
+             bm25f_search_sql("merge src1", fields=_f2,
+                              coeffs={"title": 2.0}, k=None)),
+            ("bf_plain_coeffs",
+             bm25f_search_sql("merge table", fields=_f2, k=None)),
+            ("plain", bm25_search_sql("merge table", k=None)),
+        ])
     from cuely_spark.oracle_sql import snippet_sql
     out["ft_snippets"] = snippet_sql("merge table", k=10)
     out["ft_blend"] = f"""

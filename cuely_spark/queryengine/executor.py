@@ -662,12 +662,19 @@ class IndexReader:
         shard-parallel query fan-out, but across the query set).
 
         Each value of `queries` is a query string / ParsedQuery, or a
-        dict spec {"q": ..., "should": ..., "offset": int} — the batch
-        path has full feature parity with search(): compound/stemmed
-        augmentation (same index-flag defaults), Should clauses that
-        score but never gate, and per-query pagination offsets (every
-        shard query goes through the same plan build in the reference,
-        crates/core/src/query/mod.rs:77-154).
+        dict spec {"q": ..., "should": ..., "offset": int,
+        "bm25f": bool, "field_coeffs": {...}} — the batch path has full
+        feature parity with search(): compound/stemmed augmentation
+        (same index-flag defaults), Should clauses that score but never
+        gate, per-query pagination offsets, and per-query BM25F over a
+        multi-field index (every shard query goes through the same plan
+        build in the reference, crates/core/src/query/mod.rs:77-154).
+
+        A bm25f query scores with search_bm25f semantics (union-df IDF,
+        per-field fieldnorms, coefficient inside the saturation) and
+        rides the same or-group machinery — one member per field. bm25f
+        specs take simple positive terms + filters (no phrases/
+        negations/should — use search_bm25f for those edges).
 
         Returns DataFrame (query, rank, doc_id, score); rank is 1-based
         after the query's offset.
@@ -677,13 +684,22 @@ class IndexReader:
 
         def _spec(v):
             if isinstance(v, dict):
-                return (v["q"], v.get("should"), int(v.get("offset", 0)))
-            return (v, None, 0)
+                return (v["q"], v.get("should"), int(v.get("offset", 0)),
+                        bool(v.get("bm25f")), v.get("field_coeffs"))
+            return (v, None, 0, False, None)
+
+        extra_fields = list(self.stats.get("field_cols") or [])
+        primary = self.stats.get("text_col", "text")
+        ftoks = self.stats.get("field_tokens") or {}
+        favg = {primary: self.avg_fieldnorm}
+        for g in extra_fields:
+            favg[g] = (ftoks.get(g, 0) or 0) / self.num_docs
 
         parsed, shoulds, offsets = {}, {}, {}
-        compounds_by, cterms_by = {}, {}
+        compounds_by, cterms_by, bm25f_by = {}, {}, {}
+        union_terms: set[str] = set()
         for name, v in queries.items():
-            q, sh, off = _spec(v)
+            q, sh, off, is_f, coeffs = _spec(v)
             pq = parse_query(q) if isinstance(q, str) else q
             parsed[name] = pq
             offsets[name] = off
@@ -692,23 +708,68 @@ class IndexReader:
             if spq is not None and spq.negative:
                 raise ValueError(
                     "negations belong in the must query, not in should")
+            if is_f:
+                if not extra_fields:
+                    raise ValueError("index has no field_cols; "
+                                     "bm25f specs need a multi-field "
+                                     "index")
+                if spq is not None or pq.negative or any(
+                        c.kind == "phrase" for c in pq.clauses):
+                    raise ValueError(
+                        "batch bm25f specs take simple positive terms "
+                        "+ filters only")
+                cdict = {}
+                fkeys = []
+                for i, c in enumerate(pq.clauses):
+                    if c.kind != "term":
+                        continue
+                    t = c.tokens[0]
+                    cdict[i] = [f"f:{g}:{t}" for g in extra_fields]
+                    fkeys.extend(cdict[i])
+                    union_terms.add("u:" + t)
+                compounds_by[name], cterms_by[name] = cdict, fkeys
+                cmap = {f: 1.0 for f in [primary] + extra_fields}
+                for fname, vv in (coeffs or {}).items():
+                    if fname not in cmap:
+                        raise ValueError(f"unknown field {fname!r}; "
+                                         f"index has {list(cmap)}")
+                    cmap[fname] = float(vv)
+                bm25f_by[name] = cmap
+            else:
+                compounds_by[name], cterms_by[name] = \
+                    self._plan_alternatives(pq, compound_terms, stemmed)
+                bm25f_by[name] = None
             shoulds[name] = spq
-            compounds_by[name], cterms_by[name] = self._plan_alternatives(
-                pq, compound_terms, stemmed)
         all_terms = sorted(
             {t for pq in parsed.values() for t in pq.all_terms()}
             | {t for spq in shoulds.values() if spq is not None
                for t in spq.all_terms()}
-            | {t for ct in cterms_by.values() for t in ct})
+            | {t for ct in cterms_by.values() for t in ct}
+            | union_terms)
         dfs = self.term_dfs(all_terms)
         weights = {}
         for name, pq in parsed.items():
-            w = self._weights(pq, dfs, dtype)
-            if shoulds[name] is not None:
-                w.update(self._weights(shoulds[name], dfs, dtype))
-            for t in cterms_by[name]:
-                w[t] = Bm25Weight(dfs[t], self.num_docs,
-                                  self.avg_fieldnorm, dtype=dtype)
+            coeffs = bm25f_by[name]
+            if coeffs is not None:
+                w = {}
+                for c in pq.positive:
+                    t = c.tokens[0]
+                    if ":" in t:
+                        continue  # attribute filter, unscored
+                    udf = dfs["u:" + t]
+                    w[t] = Bm25FWeight(udf, self.num_docs, favg[primary],
+                                       coeff=coeffs[primary], dtype=dtype)
+                    for g in extra_fields:
+                        w[f"f:{g}:{t}"] = Bm25FWeight(
+                            udf, self.num_docs, favg[g],
+                            coeff=coeffs[g], dtype=dtype)
+            else:
+                w = self._weights(pq, dfs, dtype)
+                if shoulds[name] is not None:
+                    w.update(self._weights(shoulds[name], dfs, dtype))
+                for t in cterms_by[name]:
+                    w[t] = Bm25Weight(dfs[t], self.num_docs,
+                                      self.avg_fieldnorm, dtype=dtype)
             weights[name] = w
         # queries with a dead required clause are dropped up front
         live = {name: pq for name, pq in parsed.items()

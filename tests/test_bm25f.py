@@ -137,3 +137,46 @@ def test_plain_search_unchanged_by_extra_fields(bm25f_index):
     assert [row["doc_id"] for row in rows] == list(exp_d)
     np.testing.assert_allclose(
         [row["score"] for row in rows], exp_s, rtol=1e-6)
+
+
+def test_bm25f_batch_matches_single(bm25f_index):
+    """A bm25f spec in search_many returns exactly search_bm25f's
+    results (same or-group plan per segment), alongside plain-BM25
+    queries in the same batch."""
+    r, fields = bm25f_index
+    n = len(fields["text"])
+    batch = {
+        "f1": {"q": "alpha beta", "bm25f": True,
+               "field_coeffs": {"title": 2.0}},
+        "f2": {"q": "tag0 gamma", "bm25f": True},
+        "plain": "alpha beta",
+    }
+    res = r.search_many(batch, k=n, dtype=np.float64).collect()
+    by_q = {}
+    for row in res:
+        by_q.setdefault(row["query"], []).append(
+            (row["rank"], row["doc_id"], row["score"]))
+    for name, spec in [("f1", {"field_coeffs": {"title": 2.0}}),
+                       ("f2", {})]:
+        single = r.search_bm25f(batch[name]["q"], k=n, dtype=np.float64,
+                                **spec).collect()
+        exp = [(i + 1, row["doc_id"], row["score"])
+               for i, row in enumerate(single)]
+        assert sorted(by_q[name]) == exp, name
+    plain = r.search("alpha beta", k=n, dtype=np.float64).collect()
+    assert sorted(by_q["plain"]) == [
+        (i + 1, row["doc_id"], row["score"])
+        for i, row in enumerate(plain)]
+
+
+def test_bm25f_batch_validation(bm25f_index):
+    r, _ = bm25f_index
+    import pytest
+
+    with pytest.raises(ValueError):
+        r.search_many({"x": {"q": '"alpha beta"', "bm25f": True}})
+    with pytest.raises(ValueError):
+        r.search_many({"x": {"q": "alpha -beta", "bm25f": True}})
+    with pytest.raises(ValueError):
+        r.search_many({"x": {"q": "alpha", "bm25f": True,
+                             "field_coeffs": {"nope": 1.0}}})
