@@ -205,3 +205,70 @@ def test_kernel_full_surface_fuzz(base_seed):
         for cap in (1, max(1, full // 2), full or 1, full + 5):
             assert count_matches(specs, neg_specs, max_docs=cap) \
                 == min(full, cap), f"seed {base_seed + trial} cap {cap}"
+
+
+@pytest.mark.parametrize("base_seed", [5000])
+def test_kernel_optic_fuzz(base_seed):
+    """Randomized optic-rule fuzz over segment_topk: boost/downrank
+    accumulation + DiscardNonMatching gate vs a brute-force model
+    (reference multiplier semantics, computer/mod.rs:471-497)."""
+    from cuely_spark.queryengine.kernel import segment_topk
+
+    for trial in range(40):
+        rng = np.random.default_rng(base_seed + trial)
+        n_docs = int(rng.integers(5, 200))
+        texts = _corpus(rng, n_docs)
+        rows = build_segment_rows(
+            np.arange(n_docs, dtype=np.int64), texts, segment_id=0)
+        p = rows[rows["kind"] == "p"]
+        toks = [tokenize(t) for t in texts]
+        avgfn = (sum(len(t) for t in toks) / n_docs) or 1.0
+
+        def df(term):
+            return sum(1 for t in toks if term in t)
+
+        must = str(rng.choice(VOCAB))
+        w = Bm25Weight(df(must), n_docs, avgfn)
+        tp_must = _tp_from_rows(p, must)
+        if tp_must.nblocks == 0:
+            continue
+
+        n_rules = int(rng.integers(1, 4))
+        rules = []
+        for _ in range(n_rules):
+            terms = list(rng.choice(VOCAB, size=int(rng.integers(1, 3)),
+                                    replace=False))
+            factor = float(rng.choice([-3.0, -1.5, 0.5, 1.0, 2.0]))
+            rules.append((factor, [str(t) for t in terms]))
+        dnm = bool(rng.random() < 0.4)
+
+        bspecs = [(f, [_tp_from_rows(p, t) for t in ts])
+                  for f, ts in rules]
+        req = [tps for _, tps in bspecs] if dnm else None
+        got_d, got_s = segment_topk(
+            [("term", tp_must, w)], [], k=n_docs,
+            boost_specs=bspecs, require_any=req)
+
+        # brute force
+        f32 = np.float32
+        exp = {}
+        for d in range(n_docs):
+            tf = toks[d].count(must)
+            if tf == 0:
+                continue
+            matched = [f for f, ts in rules
+                       if all(t in toks[d] for t in ts)]
+            if dnm and not matched:
+                continue
+            boost = sum(f for f in matched if f >= 0)
+            down = sum(-f for f in matched if f < 0)
+            mult = (1.0 / (1.0 + down - boost) if down > boost
+                    else boost - down + 1.0)
+            base = f32(w.score(np.array([wfn(toks[d])]),
+                               np.array([tf]))[0])
+            exp[d] = f32(np.float64(base) * mult)
+        ranked = sorted(exp.items(), key=lambda x: (-x[1], x[0]))
+        assert got_d.tolist() == [d for d, _ in ranked], \
+            f"seed {base_seed + trial}"
+        np.testing.assert_array_equal(
+            got_s, np.array([s for _, s in ranked], dtype=f32))
