@@ -44,6 +44,22 @@ def main() -> None:
     b.add_argument("--num-jobs", type=int, default=1)
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--attr-cols", default="",
+                   help="comma-separated unscored field:value filter "
+                        "columns (e.g. role,tool)")
+    b.add_argument("--field-cols", default="",
+                   help="comma-separated extra SCORED text fields "
+                        "(multi-field postings for BM25F)")
+    b.add_argument("--ngram-max", type=int, default=0,
+                   help="0/2/3: bigram(+trigram) compound shadow terms")
+    b.add_argument("--stem", action="store_true",
+                   help="index stemmed shadow terms")
+    b.add_argument("--stem-lang-col", default=None,
+                   help="column with per-doc language codes routing "
+                        "the stemmer (en/de/fr/es, en fallback)")
+    b.add_argument("--score-col", default=None,
+                   help="index-sort: assign doc ids by this column "
+                        "descending (early-termination ordering)")
 
     m = sub.add_parser("merge")
     m.add_argument("--input", required=True)
@@ -77,6 +93,12 @@ def main() -> None:
             num_jobs=args.num_jobs,
             store_positions=not args.no_positions,
             resume=args.resume,
+            attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
+            field_cols=tuple(c for c in args.field_cols.split(",") if c),
+            ngram_max=args.ngram_max,
+            stem=args.stem,
+            stem_lang_col=args.stem_lang_col,
+            score_col=args.score_col,
         )
         print(f"index built at {paths.root}")
     elif args.cmd == "merge":
