@@ -786,40 +786,9 @@ sh AS (
     # MinHash+LSH near-dup: bands of 4 minhashes -> candidate pairs ->
     # exact shingle Jaccard on candidates only (mirrors
     # ops/dedup.minhash_lsh_pairs: 16 hashes, 4 bands, threshold 0.8)
-    mh16_cols = ", ".join(
-        "min({expr}) AS mh_{i}".format(
-            expr=h("'{i}|' || shingle".format(i=i)), i=i)
-        for i in range(16))
-    band_case = " ".join(
-        f"WHEN {b} THEN [mh_{4 * b}, mh_{4 * b + 1}, "
-        f"mh_{4 * b + 2}, mh_{4 * b + 3}]" for b in range(4))
-    out["dedup_minhash_lsh"] = f"""
-WITH {shingles},
-mh AS (SELECT doc_id, {mh16_cols} FROM sh GROUP BY doc_id),
-bv AS (
-  SELECT doc_id, b, CASE b {band_case} END AS val
-  FROM mh, range(4) r(b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bv a JOIN bv b ON a.b = b.b AND a.val = b.val
-                     AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY 1, 2
-)
-SELECT * FROM (
-  SELECT doc_a, doc_b,
-         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-) WHERE jaccard >= 0.8"""
+    from cuely_spark.oracle_sql import minhash_lsh_sql
+    out["dedup_minhash_lsh"] = minhash_lsh_sql(
+        num_hashes=16, bands=4, threshold=0.8)
 
     from cuely_spark.oracle_sql import minhash_lsh_sql
     out["dedup_ngram_jaccard"] = minhash_lsh_sql(
