@@ -649,8 +649,13 @@ def oracle_sql() -> dict[str, str]:
             ("ba_compound",
              bm25_search_sql("scan merge table", k=None, ngram_max=3)),
             ("ba_should",
+             # the must query runs on the ngram index -> it IS
+             # compound-augmented (single-term windows emit b:/t:
+             # shadows since the 1-token-window fix); should clauses
+             # are never augmented, matching the engine
              bm25_search_sql("merge", k=None,
-                             should='table "batch batch"')),
+                             should='table "batch batch"',
+                             ngram_max=3)),
             ("ba_offset",
              bm25_search_sql("key order sort", k=None, offset=10,
                              ngram_max=3)),
@@ -703,7 +708,7 @@ WITH m AS (
          (CASE WHEN lower(d.source) = 'src1' THEN 2.0 ELSE 0 END) AS down
   FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
   JOIN documents d USING (doc_id)
-  WHERE lower(d.lang) != 'zh'
+  WHERE (d.lang IS NULL OR lower(d.lang) != 'zh')
 )
 SELECT doc_id,
        round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)
@@ -718,7 +723,7 @@ WITH m AS (
          (CASE WHEN lower(d.source) = 'src1' THEN 2.0 ELSE 0 END) AS down
   FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
   JOIN documents d USING (doc_id)
-  WHERE lower(d.lang) != 'zh'
+  WHERE (d.lang IS NULL OR lower(d.lang) != 'zh')
     AND (lower(d.lang) = 'de' OR {_tok_has('window')}
          OR lower(d.source) = 'src1')
 )

@@ -119,13 +119,15 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
+def _decode_audio(payload: bytes, sample_rate: int):
+    """-> (samples, real sample rate). The HEADER's rate wins over the
+    metadata column — chunk boundaries must track the actual audio."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)[0]
+        return decode_wav(payload)
     # SUBSTITUTION POINT: MP3/AAC need ffmpeg — deterministic fake
     seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
     rng = np.random.default_rng(seed)
-    return rng.normal(size=int(sample_rate))  # 1 fake second
+    return rng.normal(size=int(sample_rate)), int(sample_rate)
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -224,8 +226,7 @@ def audio_chunk_stats(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
             mids, chunks, rmss = [], [], []
             for mid, payload, sr in zip(pdf["media_id"], pdf["payload"],
                                         pdf["sample_rate"]):
-                sr = int(sr)
-                samples = _decode_audio(bytes(payload), sr)
+                samples, sr = _decode_audio(bytes(payload), int(sr))
                 step = max(1, sr * chunk_ms // 1000)
                 # vectorized per-chunk RMS: reduceat over squared samples
                 starts = np.arange(0, samples.size, step)

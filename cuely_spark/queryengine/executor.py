@@ -226,6 +226,20 @@ class IndexReader:
         return compounds, c_terms
 
     @staticmethod
+    def _prune_dead_alts(compounds: dict, dfs: dict[str, int]) -> dict:
+        """Drop shadow alternatives with global df 0: a dead member can
+        never change membership or score, but its presence turns a term
+        clause into an or-group — notably costing single-term queries
+        on an ngram index the block-max WAND fast path. Pruning after
+        the (already fetched) stats lookup keeps plans minimal."""
+        out = {}
+        for i, alts in compounds.items():
+            live = [a for a in alts if dfs.get(a, 0) > 0]
+            if live:
+                out[i] = live
+        return out
+
+    @staticmethod
     def _dead_clause(pq: ParsedQuery, compounds: dict,
                      dfs: dict[str, int]) -> bool:
         """True when some required clause has no live member anywhere
@@ -339,6 +353,7 @@ class IndexReader:
             pq, compound_terms, stemmed, occur, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms + rule_terms)))
+        compounds = self._prune_dead_alts(compounds, dfs)
         if occur == "should":
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
@@ -545,7 +560,9 @@ class IndexReader:
         avgfn = {primary: self.avg_fieldnorm}
         ftoks = self.stats.get("field_tokens") or {}
         for g in extra:
-            avgfn[g] = (ftoks.get(g, 0) or 0) / num_docs
+            # a corpus-wide-empty field has no postings to score; 1.0
+            # keeps the (never-evaluated) norm cache finite
+            avgfn[g] = ((ftoks.get(g, 0) or 0) / num_docs) or 1.0
 
         def key(t: str, f: str) -> str:
             return t if f == primary else f"f:{f}:{t}"
@@ -669,6 +686,9 @@ class IndexReader:
         gate, per-query pagination offsets, and per-query BM25F over a
         multi-field index (every shard query goes through the same plan
         build in the reference, crates/core/src/query/mod.rs:77-154).
+        Specs may carry "lang" to route language-aware stemming per
+        query. NOT in batch mode: optic rules and explicit
+        max_docs_per_segment — use search() for those.
 
         A bm25f query scores with search_bm25f semantics (union-df IDF,
         per-field fieldnorms, coefficient inside the saturation) and
@@ -685,21 +705,23 @@ class IndexReader:
         def _spec(v):
             if isinstance(v, dict):
                 return (v["q"], v.get("should"), int(v.get("offset", 0)),
-                        bool(v.get("bm25f")), v.get("field_coeffs"))
-            return (v, None, 0, False, None)
+                        bool(v.get("bm25f")), v.get("field_coeffs"),
+                        v.get("lang"))
+            return (v, None, 0, False, None, None)
 
         extra_fields = list(self.stats.get("field_cols") or [])
         primary = self.stats.get("text_col", "text")
         ftoks = self.stats.get("field_tokens") or {}
         favg = {primary: self.avg_fieldnorm}
         for g in extra_fields:
-            favg[g] = (ftoks.get(g, 0) or 0) / self.num_docs
+            favg[g] = (((ftoks.get(g, 0) or 0) / self.num_docs)
+                       or 1.0)  # empty field: keep norm cache finite
 
         parsed, shoulds, offsets = {}, {}, {}
         compounds_by, cterms_by, bm25f_by = {}, {}, {}
         union_terms: set[str] = set()
         for name, v in queries.items():
-            q, sh, off, is_f, coeffs = _spec(v)
+            q, sh, off, is_f, coeffs, qlang = _spec(v)
             pq = parse_query(q) if isinstance(q, str) else q
             parsed[name] = pq
             offsets[name] = off
@@ -737,7 +759,8 @@ class IndexReader:
                 bm25f_by[name] = cmap
             else:
                 compounds_by[name], cterms_by[name] = \
-                    self._plan_alternatives(pq, compound_terms, stemmed)
+                    self._plan_alternatives(pq, compound_terms, stemmed,
+                                            lang=qlang)
                 bm25f_by[name] = None
             shoulds[name] = spq
         all_terms = sorted(
@@ -747,6 +770,10 @@ class IndexReader:
             | {t for ct in cterms_by.values() for t in ct}
             | union_terms)
         dfs = self.term_dfs(all_terms)
+        for name in parsed:
+            if bm25f_by[name] is None:
+                compounds_by[name] = self._prune_dead_alts(
+                    compounds_by[name], dfs)
         weights = {}
         for name, pq in parsed.items():
             coeffs = bm25f_by[name]
@@ -873,6 +900,7 @@ class IndexReader:
             pq, compound_terms, stemmed, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + c_terms)))
+        compounds = self._prune_dead_alts(compounds, dfs)
         if self._dead_clause(pq, compounds, dfs):
             return 0
         # fast path: single positive term, no negation/alternatives ->

@@ -590,9 +590,11 @@ def segment_topk(
                 boost[m] += factor
             else:
                 down[m] += -factor
-        mult = np.where(down > boost,
-                        1.0 / (1.0 + down - boost),
-                        boost - down + 1.0)
+        # branch under the mask (np.where would evaluate the reciprocal
+        # for boost-down == 1.0 rows too -> divide-by-zero warnings)
+        mult = boost - down + 1.0
+        dn = down > boost
+        mult[dn] = 1.0 / (1.0 + down[dn] - boost[dn])
         total = (total.astype(np.float64) * mult).astype(d)
 
     return _merge_topk(cand, total, k)

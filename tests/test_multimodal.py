@@ -32,8 +32,10 @@ def test_decode_dispatch_fallback_is_deterministic():
     b = _decode_image(blob, 6, 4)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (4, 6, 3)
-    np.testing.assert_array_equal(_decode_audio(blob, 100),
-                                  _decode_audio(blob, 100))
+    s1, sr1 = _decode_audio(blob, 100)
+    s2, sr2 = _decode_audio(blob, 100)
+    assert sr1 == sr2 == 100
+    np.testing.assert_array_equal(s1, s2)
 
 
 def test_media_table_and_image_features(spark):

@@ -120,3 +120,28 @@ def test_lang_routed_index_recall(spark, tmp_path):
     # strips final e only when measure allows; assert behaviour is
     # language-dependent for a pair where stems differ
     assert ids("corriendo", lang="es") == {3}   # corr == stem(correr)
+
+
+def test_lang_routed_batch_spec(spark, tmp_path):
+    """search_many specs carry per-query lang for routed stemming."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rows = [(0, "die katzen sind hier", "de"),
+            (1, "the cats are here", "en")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string")
+    out = str(tmp_path / "routed_batch")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                rows_per_segment=10, num_jobs=1, stem=True,
+                stem_lang_col="lang")
+    r = IndexReader(spark, out)
+    res = r.search_many({"de_q": {"q": "katze", "lang": "de"},
+                         "en_q": {"q": "cat", "lang": "en"}},
+                        k=10, dtype=np.float64).collect()
+    by_q = {}
+    for row in res:
+        by_q.setdefault(row["query"], set()).add(row["doc_id"])
+    assert by_q == {"de_q": {0}, "en_q": {1}}
