@@ -180,3 +180,48 @@ def test_bm25f_batch_validation(bm25f_index):
     with pytest.raises(ValueError):
         r.search_many({"x": {"q": "alpha", "bm25f": True,
                              "field_coeffs": {"nope": 1.0}}})
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_bm25f_randomized_fuzz(spark, tmp_path_factory, seed):
+    """Randomized 2-field corpora: search_bm25f must match the
+    brute-force BM25F model on every trial (random coefficients, random
+    conjunctions, fields with disjoint and overlapping vocab)."""
+    import pandas as pd
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rng = np.random.default_rng(seed)
+    body_vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    title_vocab = ["tag0", "tag1", "alpha", "gamma"]
+    n = int(rng.integers(30, 90))
+    body = [" ".join(rng.choice(body_vocab,
+                                size=int(rng.integers(1, 18))))
+            for _ in range(n)]
+    title = [" ".join(rng.choice(title_vocab,
+                                 size=int(rng.integers(1, 4))))
+             for _ in range(n)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": body, "title": title})
+    out = str(tmp_path_factory.mktemp(f"bm25f_fuzz{seed}"))
+    build_index(spark, spark.createDataFrame(pdf), out, text_col="text",
+                doc_id_col="doc_id", rows_per_segment=25, num_jobs=1,
+                field_cols=("title",))
+    r = IndexReader(spark, out)
+    fields = {"text": body, "title": title}
+    for _ in range(6):
+        ct = round(float(rng.uniform(0.2, 3.0)), 2)
+        cb = round(float(rng.uniform(0.2, 3.0)), 2)
+        terms = list(rng.choice(sorted(set(body_vocab) | set(title_vocab)),
+                                size=int(rng.integers(1, 3)),
+                                replace=False))
+        terms = [str(t) for t in terms]
+        coeffs = {"text": cb, "title": ct}
+        exp = _brute_bm25f(fields, coeffs, terms)
+        rows = r.search_bm25f(" ".join(terms), k=n, dtype=np.float64,
+                              field_coeffs=coeffs).collect()
+        got = [(row["doc_id"], row["score"]) for row in rows]
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, coeffs)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=1e-9)
