@@ -687,8 +687,9 @@ class IndexReader:
         multi-field index (every shard query goes through the same plan
         build in the reference, crates/core/src/query/mod.rs:77-154).
         Specs may carry "lang" to route language-aware stemming per
-        query. NOT in batch mode: optic rules and explicit
-        max_docs_per_segment — use search() for those.
+        query and "optic" (a Rule list or an Optic) applied with the
+        same semantics as search(optic=). NOT in batch mode: explicit
+        max_docs_per_segment — use search() for that.
 
         A bm25f query scores with search_bm25f semantics (union-df IDF,
         per-field fieldnorms, coefficient inside the saturation) and
@@ -706,8 +707,8 @@ class IndexReader:
             if isinstance(v, dict):
                 return (v["q"], v.get("should"), int(v.get("offset", 0)),
                         bool(v.get("bm25f")), v.get("field_coeffs"),
-                        v.get("lang"))
-            return (v, None, 0, False, None, None)
+                        v.get("lang"), v.get("optic"))
+            return (v, None, 0, False, None, None, None)
 
         extra_fields = list(self.stats.get("field_cols") or [])
         primary = self.stats.get("text_col", "text")
@@ -719,9 +720,26 @@ class IndexReader:
 
         parsed, shoulds, offsets = {}, {}, {}
         compounds_by, cterms_by, bm25f_by = {}, {}, {}
+        optic_by: dict = {}
         union_terms: set[str] = set()
         for name, v in queries.items():
-            q, sh, off, is_f, coeffs, qlang = _spec(v)
+            q, sh, off, is_f, coeffs, qlang, qoptic = _spec(v)
+            if qoptic is not None:
+                from .optic import Optic, compile_rules
+
+                rules = (qoptic.rules if isinstance(qoptic, Optic)
+                         else qoptic)
+                b_rules, d_groups = compile_rules(rules)
+                req = None
+                if isinstance(qoptic, Optic) and qoptic.discard_non_matching:
+                    if not b_rules:
+                        raise ValueError(
+                            "discard_non_matching needs at least one "
+                            "non-discard rule")
+                    req = [ts for _, ts in b_rules]
+                optic_by[name] = (b_rules, d_groups, req)
+            else:
+                optic_by[name] = None
             pq = parse_query(q) if isinstance(q, str) else q
             parsed[name] = pq
             offsets[name] = off
@@ -763,11 +781,17 @@ class IndexReader:
                                             lang=qlang)
                 bm25f_by[name] = None
             shoulds[name] = spq
+        rule_terms_by = {
+            name: (list(dict.fromkeys(
+                [t for _, ts in o[0] for t in ts]
+                + [t for g in o[1] for t in g])) if o else [])
+            for name, o in optic_by.items()}
         all_terms = sorted(
             {t for pq in parsed.values() for t in pq.all_terms()}
             | {t for spq in shoulds.values() if spq is not None
                for t in spq.all_terms()}
             | {t for ct in cterms_by.values() for t in ct}
+            | {t for ts in rule_terms_by.values() for t in ts}
             | union_terms)
         dfs = self.term_dfs(all_terms)
         for name in parsed:
@@ -817,7 +841,8 @@ class IndexReader:
             {t for name in live for t in parsed[name].all_terms()}
             | {t for name in live if shoulds[name] is not None
                for t in shoulds[name].all_terms()}
-            | {t for name in live for t in cterms_by[name]})
+            | {t for name in live for t in cterms_by[name]}
+            | {t for name in live for t in rule_terms_by[name]})
         postings = (self.postings_df
                     .filter(F.col("term").isin(live_terms))
                     .select(*cols))
@@ -830,6 +855,7 @@ class IndexReader:
             if len(pdf):
                 by_term = {t: _build_term_postings(g)
                            for t, g in pdf.groupby("term")}
+                empty_tp = TermPostings([], [], [], [], [], [])
                 for name, pq in live.items():
                     specs, negs = _make_specs(
                         pq, weights[name], by_term, dtype,
@@ -837,9 +863,24 @@ class IndexReader:
                     sspecs = (_make_specs(shoulds[name], weights[name],
                                           by_term, dtype)[0]
                               if shoulds[name] is not None else None)
+                    bspecs = req = None
+                    o = optic_by[name]
+                    if o is not None:
+                        b_rules, d_groups, req_groups = o
+                        negs = negs + [
+                            [by_term.get(t, empty_tp) for t in g]
+                            for g in d_groups]
+                        bspecs = [(f, [by_term.get(t, empty_tp)
+                                       for t in ts])
+                                  for f, ts in b_rules] or None
+                        req = ([[by_term.get(t, empty_tp) for t in g]
+                                for g in req_groups]
+                               if req_groups is not None else None)
                     docs, scores = segment_topk(specs, negs, seg_k[name],
                                                 dtype=dtype,
-                                                should_specs=sspecs)
+                                                should_specs=sspecs,
+                                                boost_specs=bspecs,
+                                                require_any=req)
                     if docs.size:
                         out.append(pd.DataFrame({
                             "query": name,

@@ -329,3 +329,45 @@ def test_optic_discard_non_matching(spark, tmp_path):
         r.search("alpha", optic=Optic(
             rules=(Rule("role:v", "discard"),),
             discard_non_matching=True))
+
+
+def test_optic_rules_in_batch_specs(spark, tmp_path):
+    """search_many spec 'optic' matches search(optic=) exactly,
+    mixable with unruled queries in the same batch."""
+    import numpy as np
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.queryengine.optic import Optic, Rule
+
+    rows = [(0, "alpha beta", "u"), (1, "alpha beta", "v"),
+            (2, "alpha beta gamma", "u"), (3, "alpha only", "v")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, role string")
+    out = str(tmp_path / "optic_batch_idx")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                rows_per_segment=10, num_jobs=1, attr_cols=("role",))
+    r = IndexReader(spark, out)
+    rules = [Rule("role:u", "boost", 1.0),
+             Rule("gamma", "downrank", 3.0),
+             Rule("role:v beta", "discard")]
+    o = Optic(rules=tuple(rules[:2]), discard_non_matching=True)
+    res = r.search_many({
+        "ruled": {"q": "alpha", "optic": rules},
+        "dnm": {"q": "alpha", "optic": o},
+        "plain": "alpha",
+    }, k=10, dtype=np.float64).collect()
+    by_q = {}
+    for row in res:
+        by_q.setdefault(row["query"], []).append(
+            (row["rank"], row["doc_id"], row["score"]))
+    single_ruled = r.search("alpha", k=10, dtype=np.float64,
+                            optic=rules).collect()
+    single_dnm = r.search("alpha", k=10, dtype=np.float64,
+                          optic=o).collect()
+    single_plain = r.search("alpha", k=10, dtype=np.float64).collect()
+    for name, single in [("ruled", single_ruled), ("dnm", single_dnm),
+                         ("plain", single_plain)]:
+        exp = [(i + 1, row["doc_id"], row["score"])
+               for i, row in enumerate(single)]
+        assert sorted(by_q[name]) == exp, name
