@@ -29,6 +29,9 @@ FT_QUERIES = {
     "ft_and_all": ("merge table window", None),
     "ft_phrase_all": ('"batch batch"', None),
     "ft_phrase_mix_all": ('"scan merge" table', None),
+    # near-phrase: total positional budget via "..."~N (slop)
+    "ft_phrase_slop": ('"scan merge"~2 table', None),
+    "ft_phrase_slop3": ('"key order sort"~3', None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),

@@ -58,8 +58,13 @@ class OracleIndex:
         return Bm25Weight(doc_freq, self.num_docs, self.avg_fieldnorm,
                           dtype=self.dtype)
 
-    def _phrase_docs(self, tokens) -> dict[int, int]:
-        """doc -> phrase match count (overlaps counted)."""
+    def _phrase_docs(self, tokens, slop: int = 0) -> dict[int, int]:
+        """doc -> phrase match count (overlaps counted).
+
+        slop > 0: budgeted-chain semantics (kernel._phrase_tf_slop
+        docstring) via a per-doc dict DP — deliberately a different
+        implementation from the vectorized kernel so property tests
+        compare independent code paths."""
         plists = [self.postings.get(t) for t in tokens]
         if any(p is None for p in plists):
             return {}
@@ -67,7 +72,27 @@ class OracleIndex:
         for p in plists[1:]:
             docs &= set(p)
         out = {}
+        n = len(tokens)
         for d in docs:
+            if slop > 0:
+                # frontier: adjusted pos -> min accumulated |delta|
+                front = {p + (n - 1): 0 for p in plists[0][d]}
+                for off, pl in enumerate(plists[1:], start=1):
+                    nxt = {}
+                    for p in pl[d]:
+                        a = p + (n - 1 - off)
+                        best = min(
+                            (s + abs(a - fa) for fa, s in front.items()
+                             if s + abs(a - fa) <= slop),
+                            default=None)
+                        if best is not None:
+                            nxt[a] = best
+                    front = nxt
+                    if not front:
+                        break
+                if front:
+                    out[d] = len(front)
+                continue
             cand = np.asarray(plists[0][d], dtype=np.int64)
             for off, p in enumerate(plists[1:], start=1):
                 nxt = np.asarray(p[d], dtype=np.int64) - off
@@ -126,7 +151,7 @@ class OracleIndex:
                 tfs = {d: len(ps) for d, ps in plist.items()}
                 w = self._weight(self.df(t))
             else:  # phrase
-                tfs = self._phrase_docs(c.tokens)
+                tfs = self._phrase_docs(c.tokens, c.slop)
                 # phrase weight = sum of constituent idfs
                 # (reference: crates/tantivy/src/query/bm25.rs:96-131)
                 d = self.dtype
@@ -166,7 +191,7 @@ class OracleIndex:
             if c.kind in ("term", "filter"):
                 docs = set(self.postings.get(c.tokens[0], {}))
             else:
-                docs = set(self._phrase_docs(c.tokens))
+                docs = set(self._phrase_docs(c.tokens, c.slop))
             cand = docs if cand is None else cand & docs
         for c in pq.negative:
             plists = [set(self.postings.get(t, {})) for t in c.tokens]

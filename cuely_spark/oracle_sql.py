@@ -61,7 +61,9 @@ def _idf(term: str) -> str:
             f"FROM dfs d, stats s2 WHERE d.term = {_q(term)})")
 
 
-def _phrase_cte(name: str, tokens: tuple[str, ...]) -> str:
+def _phrase_cte(name: str, tokens: tuple[str, ...], slop: int = 0) -> str:
+    if slop > 0:
+        return _phrase_slop_ctes(name, tokens, slop)
     joins = [f"(SELECT doc_id, pos FROM tok WHERE term={_q(tokens[0])}) w0"]
     for i, t in enumerate(tokens[1:], start=1):
         joins.append(
@@ -69,6 +71,32 @@ def _phrase_cte(name: str, tokens: tuple[str, ...]) -> str:
             f"ON w{i}.doc_id = w0.doc_id AND w{i}.pos = w0.pos + {i}")
     return (f"{name} AS (SELECT w0.doc_id, count(*)::DOUBLE AS tf "
             f"FROM {' '.join(joins)} GROUP BY w0.doc_id)")
+
+
+def _phrase_slop_ctes(name: str, tokens: tuple[str, ...],
+                      slop: int) -> str:
+    """Near-phrase tf CTEs mirroring the engine's budgeted-chain DP
+    (kernel._phrase_tf_slop): adjusted positions a_i = pos + (n-1-i);
+    chain CTE c{i} holds, per (doc, a_i), the minimal accumulated
+    |Δa| over chains p_1..p_i; tf = count of distinct last-word
+    positions whose minimal chain cost <= slop. Emitted as sibling
+    CTEs {name}_c0.. + the final {name}(doc_id, tf)."""
+    n = len(tokens)
+    parts = [f"{name}_c0 AS (SELECT doc_id, pos + {n - 1} AS a, "
+             f"0 AS s FROM tok WHERE term={_q(tokens[0])})"]
+    for i, t in enumerate(tokens[1:], start=1):
+        prev = f"{name}_c{i - 1}"
+        parts.append(
+            f"{name}_c{i} AS (SELECT w.doc_id, w.a, "
+            f"min(p.s + abs(w.a - p.a)) AS s "
+            f"FROM (SELECT doc_id, pos + {n - 1 - i} AS a FROM tok "
+            f"WHERE term={_q(t)}) w "
+            f"JOIN {prev} p ON p.doc_id = w.doc_id "
+            f"AND p.s + abs(w.a - p.a) <= {slop} "
+            f"GROUP BY w.doc_id, w.a)")
+    parts.append(f"{name} AS (SELECT doc_id, count(*)::DOUBLE AS tf "
+                 f"FROM {name}_c{n - 1} GROUP BY doc_id)")
+    return ",\n".join(parts)
 
 
 def _tf_factor(tf_expr: str) -> str:
@@ -177,7 +205,7 @@ dfs AS (
             pass  # unscored; condition added below
         else:
             name = f"ph{ci}"
-            ctes.append(_phrase_cte(name, c.tokens))
+            ctes.append(_phrase_cte(name, c.tokens, c.slop))
             a = f"p{ci}"
             joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
             idf_sum = " + ".join(_idf(t) for t in c.tokens)
@@ -196,7 +224,7 @@ dfs AS (
                     f"{_tf_factor(f'{a}.tf')}, 0.0)")
             else:
                 name = f"sph{ci}"
-                ctes.append(_phrase_cte(name, c.tokens))
+                ctes.append(_phrase_cte(name, c.tokens, c.slop))
                 joins.append(f"LEFT JOIN {name} {a} "
                              f"ON {a}.doc_id = cand.doc_id")
                 idf_sum = " + ".join(_idf(t) for t in c.tokens)
@@ -480,7 +508,7 @@ def count_sql(query: str, table: str = "documents",
             conds.append(_filter_cond(c.tokens[0], table, id_col,
                                       "dl.doc_id"))
         else:
-            ctes.append(_phrase_cte(f"ph{ci}", c.tokens))
+            ctes.append(_phrase_cte(f"ph{ci}", c.tokens, c.slop))
             conds.append(f"EXISTS (SELECT 1 FROM ph{ci} "
                          f"WHERE ph{ci}.doc_id = dl.doc_id)")
     for c in pq.negative:

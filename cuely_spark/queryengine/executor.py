@@ -28,7 +28,8 @@ import numpy as np
 
 from .. import TOP_K_DEFAULT
 from ..bm25 import Bm25FWeight, Bm25Weight
-from .kernel import TermPostings, count_matches, segment_topk, union_topk
+from .kernel import (PhraseTps, TermPostings, count_matches, segment_topk,
+                     union_topk)
 from .parser import ParsedQuery, compound_alternatives, parse_query
 
 _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
@@ -78,8 +79,10 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
             specs.append(("filter", by_term.get(c.tokens[0], empty_tp),
                           None))
         else:
-            tps = [by_term.get(t, empty_tp) for t in c.tokens]
-            specs.append(("phrase", tps, weights[("phrase", c.tokens)]))
+            tps = PhraseTps([by_term.get(t, empty_tp) for t in c.tokens],
+                            slop=c.slop)
+            specs.append(("phrase", tps,
+                          weights[("phrase", c.tokens, c.slop)]))
     negs = [[by_term.get(t, empty_tp) for t in c.tokens]
             for c in pq.negative]
     return specs, negs
@@ -271,7 +274,7 @@ class IndexReader:
                 for t in c.tokens:
                     s = dtype(s + weights[t].weight)
                 w.weight = s
-                weights[("phrase", c.tokens)] = w
+                weights[("phrase", c.tokens, c.slop)] = w
         return weights
 
     # ------------------------------------------------------------------

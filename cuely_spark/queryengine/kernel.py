@@ -367,7 +367,18 @@ def intersect_units(units: list) -> np.ndarray:
     return cand
 
 
-def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
+class PhraseTps(list):
+    """Phrase-clause posting lists + slop budget. A ``list`` subclass so
+    every existing ``isinstance(tp, list)`` site (unit building, nblocks
+    liveness checks) keeps seeing the constituent TermPostings."""
+
+    def __init__(self, tps, slop: int = 0):
+        super().__init__(tps)
+        self.slop = int(slop)
+
+
+def phrase_tf(tps: list[TermPostings], cand: np.ndarray,
+              slop: int = 0) -> np.ndarray:
     """Phrase match count per candidate doc (0 = no match). `tps` in
     phrase word order; cand sorted and present in every tp.
 
@@ -375,7 +386,12 @@ def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
     encoded as rank(doc) * 2^32 + (pos - word_offset), so ONE sorted
     intersection per adjacent word pair verifies adjacency across ALL
     candidates at once (reference per-doc equivalent:
-    crates/tantivy/src/query/phrase_query/phrase_scorer.rs:46-120)."""
+    crates/tantivy/src/query/phrase_query/phrase_scorer.rs:46-120).
+
+    slop > 0 switches to the budgeted-chain variant (see
+    ``_phrase_tf_slop``)."""
+    if slop > 0:
+        return _phrase_tf_slop(tps, cand, slop)
     counts = np.zeros(cand.size, dtype=np.int64)
     if cand.size == 0:
         return counts
@@ -397,6 +413,62 @@ def phrase_tf(tps: list[TermPostings], cand: np.ndarray) -> np.ndarray:
         if live.size == 0:
             return counts
     np.add.at(counts, live // SHIFT, 1)
+    return counts
+
+
+def _phrase_tf_slop(tps: list[TermPostings], cand: np.ndarray,
+                    slop: int) -> np.ndarray:
+    """Near-phrase match count with a total positional budget.
+
+    Dynamic program over offset-adjusted positions, vectorized across
+    every candidate doc at once. Positions are shifted like the
+    reference's PostingsWithOffset (adj = pos + (n-1-off), phrase_
+    scorer.rs:371-383 shifts by max_offset-offset so exact order means
+    equal values and out-of-order matches stay comparable via abs
+    diff), then doc-offset encoded (rank * 2^32 + adj). The frontier
+    after word i holds each adjusted position of word i that terminates
+    a chain p_1..p_i with minimal accumulated |Δadj| <= slop; word i+1
+    positions probe the frontier at the 2*slop+1 integer deltas via
+    searchsorted (cost O((2s+1)·P), s <= 255 = the reference's u8 slop
+    cap).
+
+    tf = number of distinct LAST-word positions reachable within
+    budget. Documented deviation: the reference's count for >2 terms is
+    itself approximate (phrase_scorer.rs:225-230 "This algorithm may
+    return an incorrect count in some cases"); the budgeted-chain DP is
+    deterministic, coincides with the exact count at slop=0, and is
+    exactly reproducible in SQL for the oracle gate."""
+    counts = np.zeros(cand.size, dtype=np.int64)
+    if cand.size == 0:
+        return counts
+    SHIFT = np.int64(1) << np.int64(32)
+    n = len(tps)
+    BIG = np.iinfo(np.int64).max
+    fenc = fslop = None
+    for off, tp in enumerate(tps):
+        flat, per_doc = tp.positions_flat(cand)
+        ranks = np.repeat(np.arange(cand.size, dtype=np.int64), per_doc)
+        # adj >= 0 always, < 2^31 + n: a +/-slop shift can wrap into a
+        # neighbouring rank's space only with adj' > 2^31, which no real
+        # value reaches -> no false cross-doc matches.
+        enc = ranks * SHIFT + (flat + np.int64(n - 1 - off))
+        if fenc is None:
+            fenc, fslop = enc, np.zeros(enc.size, dtype=np.int64)
+            continue
+        best = np.full(enc.size, BIG, dtype=np.int64)
+        for d in range(-slop, slop + 1):
+            idx = np.searchsorted(fenc, enc - d)
+            ok = idx < fenc.size
+            hit = np.where(ok)[0]
+            hit = hit[fenc[idx[hit]] == enc[hit] - d]
+            if hit.size:
+                cost = fslop[idx[hit]] + abs(d)
+                best[hit] = np.minimum(best[hit], cost)
+        keep = best <= slop
+        if not keep.any():
+            return counts
+        fenc, fslop = enc[keep], best[keep]
+    np.add.at(counts, fenc // SHIFT, 1)
     return counts
 
 
@@ -530,7 +602,7 @@ def segment_topk(
                     contrib[found] = mw.score(fnids[found], tfs[found])
                 total = (total + contrib).astype(d)
         else:  # phrase
-            tfs = phrase_tf(tp, cand)
+            tfs = phrase_tf(tp, cand, getattr(tp, "slop", 0))
             keep = tfs > 0
             cand, total, tfs = cand[keep], total[keep], tfs[keep]
             if cand.size == 0:
@@ -561,7 +633,7 @@ def segment_topk(
                 sub = sub[fnd]
             if sub.size == 0:
                 continue
-            tfs = phrase_tf(tp, sub)
+            tfs = phrase_tf(tp, sub, getattr(tp, "slop", 0))
             good = tfs > 0
             if not good.any():
                 continue
@@ -674,7 +746,8 @@ def count_matches(
         (all per-doc pointwise, so chunking is exact)."""
         for tp in phrases:
             if cand.size:
-                cand = cand[phrase_tf(tp, cand) > 0]
+                cand = cand[phrase_tf(tp, cand,
+                                      getattr(tp, "slop", 0)) > 0]
         for group in mustnot_groups:
             if (not group or any(t.nblocks == 0 for t in group)
                     or cand.size == 0):

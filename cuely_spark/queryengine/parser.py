@@ -15,6 +15,11 @@ query/plan/mod.rs:235-300) for a single-text-field index:
 - "quoted phrase" -> Must phrase: tokens must appear adjacent (slop 0).
                      Smart quotes accepted. (parser/mod.rs: phrase incl.
                      smart quotes “”)
+- "a b"~N         -> near-phrase: total positional slop budget N
+                     (tantivy slop phrases,
+                     crates/tantivy/src/query/phrase_query/
+                     phrase_scorer.rs:349-460; slop capped at 255, the
+                     reference's u8 slop carrier).
 - -term           -> MustNot: docs containing ALL of the term's tokens
                      are excluded. "--term" escapes to the literal
                      bareword "-term" (parser semantics: `--` escapes).
@@ -34,12 +39,16 @@ from ..tokenizer import tokenize
 
 MAX_TERM_LEN = 1024  # reference: crates/core/src/query/parser/term.rs:17-18
 MAX_PHRASE_WORDS = 32
+# the reference carries accumulated slop in a u8
+# (phrase_scorer.rs:216-230 slops_buffer: Vec<u8>)
+MAX_SLOP = 255
 
 
 @dataclass(frozen=True)
 class Clause:
     kind: str                 # "term" | "phrase" | "not"
     tokens: tuple[str, ...]   # normalized tokens
+    slop: int = 0             # phrase clauses only: positional budget
 
 
 @dataclass
@@ -94,8 +103,17 @@ def _raw_split(q: str) -> list[str]:
             j = i + 1
             while j < n and q[j] not in (close, '"', "”", "“"):
                 j += 1
-            out.append('"' + q[i + 1:j] + '"')
+            raw = '"' + q[i + 1:j] + '"'
             i = j + 1
+            # absorb a `~N` slop suffix glued to the closing quote
+            if i < n and q[i] == "~":
+                m = i + 1
+                while m < n and q[m].isdigit():
+                    m += 1
+                if m > i + 1:
+                    raw += q[i:m]
+                    i = m
+            out.append(raw)
         else:
             j = i
             while j < n and not q[j].isspace():
@@ -112,12 +130,17 @@ def parse_query(q: str) -> ParsedQuery:
     raws = _raw_split(q)[:MAX_TERMS_PER_QUERY]
     for raw in raws:
         raw = raw[:MAX_TERM_LEN]
+        slop = 0
+        if raw.startswith('"') and "~" in raw and not raw.endswith('"'):
+            body, _, suffix = raw.rpartition("~")
+            if body.endswith('"') and suffix.isdigit():
+                raw, slop = body, min(int(suffix), MAX_SLOP)
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             toks = tuple(tokenize(raw[1:-1])[:MAX_PHRASE_WORDS])
             if len(toks) == 1:
                 clauses.append(Clause("term", toks))
             elif toks:
-                clauses.append(Clause("phrase", toks))
+                clauses.append(Clause("phrase", toks, slop))
         elif raw.startswith("--"):
             # escaped literal "-term": same one-clause-per-token shape as
             # the bareword branch ('term' clauses are single-token)
@@ -138,10 +161,10 @@ def parse_query(q: str) -> ParsedQuery:
                 clauses.append(Clause("term", (t,)))
     # boolean simplification: idempotent AND — drop duplicate clauses
     # (reference: query/plan/node.rs:124-135 deduplicate())
-    seen: set[tuple[str, tuple[str, ...]]] = set()
+    seen: set[tuple[str, tuple[str, ...], int]] = set()
     dedup: list[Clause] = []
     for c in clauses:
-        key = (c.kind, c.tokens)
+        key = (c.kind, c.tokens, c.slop)
         if key not in seen:
             seen.add(key)
             dedup.append(c)

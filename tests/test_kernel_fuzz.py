@@ -8,7 +8,7 @@ import pytest
 
 from cuely_spark.bm25 import Bm25Weight
 from cuely_spark.indexer.segment import build_segment_rows
-from cuely_spark.queryengine.kernel import segment_topk
+from cuely_spark.queryengine.kernel import PhraseTps, segment_topk
 from cuely_spark.tokenizer import tokenize
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
@@ -35,28 +35,54 @@ def _tp_from_rows(p, term):
         block_min_fnid=g["block_min_fnid"].to_numpy())
 
 
+def _brute_phrase_tf(tt, words, slop=0):
+    """Reference phrase counter over a raw token list. slop > 0 follows
+    the budgeted-chain DP spec (kernel._phrase_tf_slop docstring):
+    frontier of adjusted positions -> min accumulated |delta|."""
+    if slop == 0:
+        n = 0
+        for i in range(len(tt) - len(words) + 1):
+            if tt[i:i + len(words)] == list(words):
+                n += 1
+        return n
+    n_w = len(words)
+    front = {i + (n_w - 1): 0
+             for i, t in enumerate(tt) if t == words[0]}
+    for off in range(1, n_w):
+        nxt = {}
+        for i, t in enumerate(tt):
+            if t != words[off]:
+                continue
+            a = i + (n_w - 1 - off)
+            best = min((s + abs(a - fa) for fa, s in front.items()
+                        if s + abs(a - fa) <= slop), default=None)
+            if best is not None:
+                nxt[a] = best
+        front = nxt
+        if not front:
+            break
+    return len(front)
+
+
 def _brute(texts, weights, must_groups, phrases, negs, shoulds,
            should_phrases, k):
     """Independent model: must_groups = list of term-lists (any member
-    must match); phrases/negs/shoulds as term tuples."""
+    must match); phrases/should_phrases as ((tokens...), slop) pairs;
+    negs/shoulds as term tuples."""
     f32 = np.float32
     toks = [tokenize(t) for t in texts]
 
     def tf(d, term):
         return toks[d].count(term)
 
-    def phrase_tf_(d, words):
-        tt = toks[d]
-        n = 0
-        for i in range(len(tt) - len(words) + 1):
-            if tt[i:i + len(words)] == list(words):
-                n += 1
-        return n
+    def phrase_tf_(d, words, slop=0):
+        return _brute_phrase_tf(toks[d], words, slop)
 
     out = {}
     for d in range(len(texts)):
         ok = all(any(tf(d, m) > 0 for m in grp) for grp in must_groups)
-        ok = ok and all(phrase_tf_(d, ph) > 0 for ph in phrases)
+        ok = ok and all(phrase_tf_(d, ph, sl) > 0
+                        for ph, sl in phrases)
         for grp in negs:
             if grp and all(tf(d, t) > 0 for t in grp):
                 ok = False
@@ -69,8 +95,8 @@ def _brute(texts, weights, must_groups, phrases, negs, shoulds,
                 if x:
                     s = f32(s + weights[m].score(
                         np.array([wfn(toks[d])]), np.array([x]))[0])
-        for ph in phrases:
-            x = phrase_tf_(d, ph)
+        for ph, sl in phrases:
+            x = phrase_tf_(d, ph, sl)
             s = f32(s + weights[("ph", ph)].score(
                 np.array([wfn(toks[d])]), np.array([x]))[0])
         for t in shoulds:
@@ -78,8 +104,8 @@ def _brute(texts, weights, must_groups, phrases, negs, shoulds,
             if x:
                 s = f32(s + weights[t].score(
                     np.array([wfn(toks[d])]), np.array([x]))[0])
-        for ph in should_phrases:
-            x = phrase_tf_(d, ph)
+        for ph, sl in should_phrases:
+            x = phrase_tf_(d, ph, sl)
             if x:
                 s = f32(s + weights[("ph", ph)].score(
                     np.array([wfn(toks[d])]), np.array([x]))[0])
@@ -121,7 +147,9 @@ def test_kernel_full_surface_fuzz(base_seed):
             must_groups.append(grp)
         phrases = []
         if rng.random() < 0.4:
-            phrases.append(tuple(rng.choice(VOCAB, size=2)))
+            nw = int(rng.choice([2, 2, 3]))
+            slop = int(rng.choice([0, 0, 1, 2, 3, 5]))
+            phrases.append((tuple(rng.choice(VOCAB, size=nw)), slop))
         negs = []
         if rng.random() < 0.4:
             negs.append([str(x) for x in
@@ -129,8 +157,10 @@ def test_kernel_full_surface_fuzz(base_seed):
                                     replace=False)])
         shoulds = ([str(rng.choice(VOCAB))]
                    if rng.random() < 0.5 else [])
-        should_phrases = ([tuple(rng.choice(VOCAB, size=2))]
-                          if rng.random() < 0.3 else [])
+        should_phrases = (
+            [(tuple(rng.choice(VOCAB, size=2)),
+              int(rng.choice([0, 1, 2])))]
+            if rng.random() < 0.3 else [])
         k = int(rng.integers(1, 30))
 
         weights = {}
@@ -139,7 +169,7 @@ def test_kernel_full_surface_fuzz(base_seed):
                 weights[m] = w_of(m)
         for t in shoulds:
             weights[t] = w_of(t)
-        for ph in list(phrases) + list(should_phrases):
+        for ph, _sl in list(phrases) + list(should_phrases):
             w = Bm25Weight(1, n_docs, avgfn)
             s = np.float32(0.0)
             for t in ph:
@@ -160,16 +190,18 @@ def test_kernel_full_surface_fuzz(base_seed):
                 specs.append(("or", members, None))
                 if all(tp.nblocks == 0 for tp, _ in members):
                     empty_ok = False
-        for ph in phrases:
-            tps = [_tp_from_rows(p, t) for t in ph]
+        for ph, sl in phrases:
+            tps = PhraseTps([_tp_from_rows(p, t) for t in ph], slop=sl)
             specs.append(("phrase", tps, weights[("ph", ph)]))
             if any(tp.nblocks == 0 for tp in tps):
                 empty_ok = False
         neg_specs = [[_tp_from_rows(p, t) for t in grp] for grp in negs]
         sspecs = [("term", _tp_from_rows(p, t), weights[t])
                   for t in shoulds]
-        sspecs += [("phrase", [_tp_from_rows(p, t) for t in ph],
-                    weights[("ph", ph)]) for ph in should_phrases]
+        sspecs += [("phrase",
+                    PhraseTps([_tp_from_rows(p, t) for t in ph],
+                              slop=sl),
+                    weights[("ph", ph)]) for ph, sl in should_phrases]
 
         got_d, got_s = segment_topk(specs, neg_specs, k=k,
                                     should_specs=sspecs)
@@ -189,11 +221,8 @@ def test_kernel_full_surface_fuzz(base_seed):
             for d in range(n_docs):
                 ok = all(any(toks[d].count(m) > 0 for m in grp)
                          for grp in must_groups)
-                for ph in phrases:
-                    tt = toks[d]
-                    ok = ok and any(
-                        tt[i:i + len(ph)] == list(ph)
-                        for i in range(len(tt) - len(ph) + 1))
+                for ph, sl in phrases:
+                    ok = ok and _brute_phrase_tf(toks[d], ph, sl) > 0
                 for grp in negs:
                     if grp and all(toks[d].count(t) > 0 for t in grp):
                         ok = False
