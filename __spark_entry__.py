@@ -453,6 +453,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_optic"] = ft_optic
 
+    def ft_optic_pattern(spark, sf_dir):
+        """Token-pattern optic matchers (the reference PatternQuery,
+        pattern_query/scorer.rs): in-order wildcard chain, adjacency,
+        start/end anchors (end anchor reads the kind='d' doclen), and
+        a combined attribute+pattern discard rule."""
+        import numpy as np
+
+        from cuely_spark.queryengine.optic import Rule
+
+        r = _reader(spark, sf_dir)
+        rules = [Rule(pattern="scan * table", action="boost", factor=0.5),
+                 Rule(pattern="key order", action="boost", factor=0.25),
+                 Rule(pattern="|merge", action="downrank", factor=2.0),
+                 Rule(pattern="sort |", action="downrank", factor=1.5),
+                 Rule(matches="lang:zh", pattern="scan",
+                      action="discard")]
+        res = r.search("merge table", k=r.num_docs, dtype=np.float64,
+                       optic=rules)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_optic_pattern"] = ft_optic_pattern
+
     def ft_optic_dnm(spark, sf_dir):
         """DiscardNonMatching: results must match >= 1 non-discard rule
         (optic.rs:56-70 Must-union semantics)."""
@@ -712,6 +734,44 @@ WITH m AS (
   FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
   JOIN documents d USING (doc_id)
   WHERE (d.lang IS NULL OR lower(d.lang) != 'zh')
+)
+SELECT doc_id,
+       round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)
+                          ELSE boost - down + 1.0 END, 4) AS score
+FROM m"""
+    # token-pattern matchers: positional chain EXISTS over a (doc, term,
+    # pos) stream; anchors via min/max positions (doclen-1 == overall
+    # max pos, attribute tokens excluded on both sides)
+    _ptok = (f"SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+             f"'{TOKEN_RE}')) AS term, "
+             f"generate_subscripts(regexp_extract_all(lower(text), "
+             f"'{TOKEN_RE}'), 1) - 1 AS pos FROM documents")
+    out["ft_optic_pattern"] = f"""
+WITH ptok AS ({_ptok}),
+dmax AS (SELECT doc_id, max(pos) AS maxpos FROM ptok GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.score,
+         (CASE WHEN EXISTS (SELECT 1 FROM ptok a, ptok c
+                 WHERE a.doc_id = b.doc_id AND c.doc_id = b.doc_id
+                   AND a.term = 'scan' AND c.term = 'table'
+                   AND a.pos <= c.pos)
+               THEN 0.5 ELSE 0 END
+          + CASE WHEN EXISTS (SELECT 1 FROM ptok a, ptok c
+                 WHERE a.doc_id = b.doc_id AND c.doc_id = b.doc_id
+                   AND a.term = 'key' AND c.term = 'order'
+                   AND a.pos <= c.pos AND c.pos - a.pos <= 1)
+               THEN 0.25 ELSE 0 END) AS boost,
+         (CASE WHEN (SELECT min(pos) FROM ptok
+                     WHERE doc_id = b.doc_id AND term = 'merge') = 0
+               THEN 2.0 ELSE 0 END
+          + CASE WHEN (SELECT max(pos) FROM ptok
+                       WHERE doc_id = b.doc_id AND term = 'sort')
+                   = (SELECT maxpos FROM dmax
+                      WHERE dmax.doc_id = b.doc_id)
+               THEN 1.5 ELSE 0 END) AS down
+  FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
+  JOIN documents d USING (doc_id)
+  WHERE NOT (lower(d.lang) = 'zh' AND {_tok_has('scan')})
 )
 SELECT doc_id,
        round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)

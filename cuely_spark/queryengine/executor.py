@@ -88,6 +88,50 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
     return specs, negs
 
 
+def _matcher_spec(m, by_term, empty_tp, doclen_fn=None):
+    """Compile an optic matcher (optic.compile_rules shape) into the
+    kernel's matcher-spec shape (kernel.matcher_mask)."""
+    kind, v = m
+    if kind == "all":
+        return [by_term.get(t, empty_tp) for t in v]
+    if kind == "pat":
+        return ("pat", [by_term.get(t, empty_tp) for t in v.terms],
+                v.slops, v.anchor_start, v.anchor_end, doclen_fn)
+    return ("and", [_matcher_spec(x, by_term, empty_tp, doclen_fn)
+                    for x in v])
+
+
+def _doclen_lookup(index_path: str, seg: int):
+    """cand -> doclen int64 array (-1 = unknown) via an executor-local
+    pyarrow read of one segment's kind='d' doc stats — the reference's
+    num_tokens columnfield analog (pattern_query/scorer.rs:320-333
+    reads it for end-anchor checks). Partition-pruned columnar scan of
+    ~rows_per_segment rows, read once per (segment, query) task."""
+    cache: dict = {}
+
+    def fn(cand):
+        if "v" not in cache:
+            import pyarrow.dataset as ds
+
+            p = os.path.join(index_path, "index", "kind=d",
+                             f"segment_id={seg}")
+            tbl = ds.dataset(p, format="parquet").to_table(
+                columns=["doc_id", "doclen"])
+            ids = np.asarray(tbl["doc_id"].to_numpy(), dtype=np.int64)
+            dls = np.asarray(tbl["doclen"].to_numpy(), dtype=np.int64)
+            o = np.argsort(ids)
+            cache["v"] = (ids[o], dls[o])
+        ids, dls = cache["v"]
+        out = np.full(cand.size, -1, dtype=np.int64)
+        if ids.size and cand.size:
+            pos = np.clip(np.searchsorted(ids, cand), 0, ids.size - 1)
+            ok = ids[pos] == cand
+            out[ok] = dls[pos[ok]]
+        return out
+
+    return fn
+
+
 class IndexReader:
     """Point-in-time snapshot of an index (tantivy Searcher semantics:
     a reader sees the segments committed when it was opened). Stats are
@@ -321,26 +365,30 @@ class IndexReader:
 
         pq = parse_query(query) if isinstance(query, str) else query
         boost_rules: list = []
-        discard_groups: list = []
+        discard_matchers: list = []
         rule_terms: list[str] = []
-        require_groups: list | None = None
+        require_matchers: list | None = None
+        rules_pos = rules_doclen = False
         if optic:
-            from .optic import Optic, compile_rules
+            from .optic import (Optic, all_matcher_terms, compile_rules,
+                                rules_need_doclen, rules_need_positions)
 
             if occur == "should":
                 raise ValueError("optic rules require occur='must'")
             rules = optic.rules if isinstance(optic, Optic) else optic
-            boost_rules, discard_groups = compile_rules(rules)
+            boost_rules, discard_matchers = compile_rules(rules)
             if isinstance(optic, Optic) and optic.discard_non_matching:
                 if not boost_rules:
                     raise ValueError(
                         "discard_non_matching needs at least one "
                         "non-discard rule (the Must union would be "
                         "empty)")
-                require_groups = [ts for _, ts in boost_rules]
-            rule_terms = list(dict.fromkeys(
-                [t for _, ts in boost_rules for t in ts]
-                + [t for g in discard_groups for t in g]))
+                require_matchers = [m for _, m in boost_rules]
+            rule_terms = all_matcher_terms(boost_rules, discard_matchers)
+            rules_pos = rules_need_positions(boost_rules,
+                                            discard_matchers)
+            rules_doclen = rules_need_doclen(boost_rules,
+                                            discard_matchers)
         spq = None
         if should is not None:
             if occur == "should":
@@ -373,11 +421,13 @@ class IndexReader:
                                     self.avg_fieldnorm, dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
             spq is not None
-            and any(c.kind == "phrase" for c in spq.positive))
+            and any(c.kind == "phrase" for c in spq.positive)) or rules_pos
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         terms = list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms + rule_terms))
         seg_k = k + offset  # each segment must surface the skipped page
+        idx_path = self.path  # plain string: the kernel closure must
+        # not capture self (unpicklable SparkSession)
 
         postings = (self.postings_df
                     .filter(F.col("term").isin(terms))
@@ -398,13 +448,15 @@ class IndexReader:
                 sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                           if spq is not None else None)
                 empty_tp = TermPostings([], [], [], [], [], [])
-                negs = negs + [[by_term.get(t, empty_tp) for t in grp]
-                               for grp in discard_groups]
-                bspecs = [(f, [by_term.get(t, empty_tp) for t in ts])
-                          for f, ts in boost_rules] or None
-                req = ([[by_term.get(t, empty_tp) for t in g]
-                        for g in require_groups]
-                       if require_groups is not None else None)
+                dl_fn = (_doclen_lookup(idx_path, seg)
+                         if rules_doclen else None)
+                negs = negs + [_matcher_spec(m, by_term, empty_tp, dl_fn)
+                               for m in discard_matchers]
+                bspecs = [(f, _matcher_spec(m, by_term, empty_tp, dl_fn))
+                          for f, m in boost_rules] or None
+                req = ([_matcher_spec(m, by_term, empty_tp, dl_fn)
+                        for m in require_matchers]
+                       if require_matchers is not None else None)
                 docs, scores = segment_topk(
                     specs, negs, seg_k, dtype=dtype,
                     max_docs=max_docs_per_segment,
@@ -732,15 +784,15 @@ class IndexReader:
 
                 rules = (qoptic.rules if isinstance(qoptic, Optic)
                          else qoptic)
-                b_rules, d_groups = compile_rules(rules)
+                b_rules, d_matchers = compile_rules(rules)
                 req = None
                 if isinstance(qoptic, Optic) and qoptic.discard_non_matching:
                     if not b_rules:
                         raise ValueError(
                             "discard_non_matching needs at least one "
                             "non-discard rule")
-                    req = [ts for _, ts in b_rules]
-                optic_by[name] = (b_rules, d_groups, req)
+                    req = [m for _, m in b_rules]
+                optic_by[name] = (b_rules, d_matchers, req)
             else:
                 optic_by[name] = None
             pq = parse_query(q) if isinstance(q, str) else q
@@ -784,11 +836,16 @@ class IndexReader:
                                             lang=qlang)
                 bm25f_by[name] = None
             shoulds[name] = spq
+        from .optic import (all_matcher_terms, rules_need_doclen,
+                            rules_need_positions)
+
         rule_terms_by = {
-            name: (list(dict.fromkeys(
-                [t for _, ts in o[0] for t in ts]
-                + [t for g in o[1] for t in g])) if o else [])
+            name: (all_matcher_terms(o[0], o[1]) if o else [])
             for name, o in optic_by.items()}
+        rules_pos = any(rules_need_positions(o[0], o[1])
+                        for o in optic_by.values() if o)
+        rules_doclen = any(rules_need_doclen(o[0], o[1])
+                           for o in optic_by.values() if o)
         all_terms = sorted(
             {t for pq in parsed.values() for t in pq.all_terms()}
             | {t for spq in shoulds.values() if spq is not None
@@ -838,8 +895,9 @@ class IndexReader:
             for name in live
             for pq in [parsed[name]] + (
                 [shoulds[name]] if shoulds[name] is not None else [])
-            for c in pq.positive)
+            for c in pq.positive) or rules_pos
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        idx_path = self.path
         live_terms = sorted(
             {t for name in live for t in parsed[name].all_terms()}
             | {t for name in live if shoulds[name] is not None
@@ -856,9 +914,12 @@ class IndexReader:
 
             out = []
             if len(pdf):
+                seg = int(pdf["segment_id"].iloc[0])
                 by_term = {t: _build_term_postings(g)
                            for t, g in pdf.groupby("term")}
                 empty_tp = TermPostings([], [], [], [], [], [])
+                dl_fn = (_doclen_lookup(idx_path, seg)
+                         if rules_doclen else None)
                 for name, pq in live.items():
                     specs, negs = _make_specs(
                         pq, weights[name], by_term, dtype,
@@ -869,16 +930,17 @@ class IndexReader:
                     bspecs = req = None
                     o = optic_by[name]
                     if o is not None:
-                        b_rules, d_groups, req_groups = o
+                        b_rules, d_matchers, req_matchers = o
                         negs = negs + [
-                            [by_term.get(t, empty_tp) for t in g]
-                            for g in d_groups]
-                        bspecs = [(f, [by_term.get(t, empty_tp)
-                                       for t in ts])
-                                  for f, ts in b_rules] or None
-                        req = ([[by_term.get(t, empty_tp) for t in g]
-                                for g in req_groups]
-                               if req_groups is not None else None)
+                            _matcher_spec(m, by_term, empty_tp, dl_fn)
+                            for m in d_matchers]
+                        bspecs = [(f, _matcher_spec(m, by_term,
+                                                    empty_tp, dl_fn))
+                                  for f, m in b_rules] or None
+                        req = ([_matcher_spec(m, by_term, empty_tp,
+                                              dl_fn)
+                                for m in req_matchers]
+                               if req_matchers is not None else None)
                     docs, scores = segment_topk(specs, negs, seg_k[name],
                                                 dtype=dtype,
                                                 should_specs=sspecs,

@@ -472,6 +472,92 @@ def _phrase_tf_slop(tps: list[TermPostings], cand: np.ndarray,
     return counts
 
 
+def pattern_mask(tps: list[TermPostings], cand: np.ndarray,
+                 slops, anchor_start: bool, anchor_end: bool,
+                 doclen_fn=None) -> np.ndarray:
+    """Token-pattern match mask over candidate docs (reference:
+    crates/core/src/query/pattern_query/scorer.rs NormalPatternScorer,
+    :257-338).
+
+    Terms must appear in order; slops[i] bounds the gap between term i
+    and term i+1 (1 = adjacent per the scorer's default, WILDCARD_SLOP
+    = `*`). The chain is the scorer's intersection_with_slop
+    (:370-408): surviving positions of term i+1 are those r with some
+    live l of term i satisfying r - slop <= l <= r — vectorized across
+    all candidates at once via doc-offset encoding (rank * 2^32 + pos;
+    a window of <= 2^31-1 can never cross into another doc's encoded
+    range, so no false cross-doc matches). Anchors mirror the scorer
+    exactly: anchor_start gates on the FIRST position of the first
+    term being 0 (:305-311), anchor_end on the LAST position of the
+    last term equalling doclen-1 (:320-333, num_tokens columnfield ->
+    here the kind='d' doclen via `doclen_fn`)."""
+    if cand.size == 0:
+        return np.zeros(0, dtype=bool)
+    if any(tp.nblocks == 0 for tp in tps):
+        return np.zeros(cand.size, dtype=bool)
+    SHIFT = np.int64(1) << np.int64(32)
+    flat, per = tps[0].positions_flat(cand)
+    m = per > 0
+    if anchor_start:
+        starts = np.cumsum(per) - per
+        first_pos = np.full(cand.size, -1, dtype=np.int64)
+        has = per > 0
+        first_pos[has] = flat[starts[has]]
+        m &= first_pos == 0
+    live = (np.repeat(np.arange(cand.size, dtype=np.int64), per) * SHIFT
+            + flat)
+    for i, tp in enumerate(tps[1:]):
+        s = np.int64(slops[i])
+        if live.size == 0:
+            return np.zeros(cand.size, dtype=bool)
+        flat, per = tp.positions_flat(cand)
+        enc = (np.repeat(np.arange(cand.size, dtype=np.int64), per)
+               * SHIFT + flat)
+        # largest live l <= r (equality allowed like the reference's
+        # right_slop <= left_val <= right_val)
+        idx = np.searchsorted(live, enc, side="right") - 1
+        keep = np.where(idx >= 0)[0]
+        keep = keep[live[idx[keep]] >= enc[keep] - s]
+        live = enc[keep]
+    chain = np.zeros(cand.size, dtype=bool)
+    if live.size:
+        chain[np.unique(live // SHIFT)] = True
+    m &= chain
+    if anchor_end:
+        assert doclen_fn is not None, "anchor_end needs doclen lookup"
+        flat, per = tps[-1].positions_flat(cand)
+        ends = np.cumsum(per) - 1
+        last_pos = np.full(cand.size, -2, dtype=np.int64)
+        has = per > 0
+        last_pos[has] = flat[ends[has]]
+        m &= last_pos == np.asarray(doclen_fn(cand), dtype=np.int64) - 1
+    return m
+
+
+def matcher_mask(spec, cand: np.ndarray) -> np.ndarray:
+    """Mask of candidates matching one optic matcher spec:
+    list[TermPostings] (every term present), ("pat", tps, slops,
+    a_start, a_end, doclen_fn), or ("and", [spec, ...])."""
+    if isinstance(spec, tuple) and spec and spec[0] == "pat":
+        _, tps, slops, a_s, a_e, dl_fn = spec
+        return pattern_mask(tps, cand, slops, a_s, a_e, dl_fn)
+    if isinstance(spec, tuple) and spec and spec[0] == "and":
+        m = np.ones(cand.size, dtype=bool)
+        for sub in spec[1]:
+            m &= matcher_mask(sub, cand)
+        return m
+    m = np.ones(cand.size, dtype=bool)
+    for tp in spec:
+        if tp.nblocks == 0:
+            m[:] = False
+            break
+        if cand.size == 0:
+            break
+        _, _, found = tp.lookup(cand)
+        m &= found
+    return m
+
+
 def segment_topk(
     clause_specs: list[tuple],
     mustnot_groups: list[list[TermPostings]],
@@ -551,32 +637,30 @@ def segment_topk(
         cand = cand[:max_docs]
 
     # MustNot exclusion: docs matching ALL terms of a negative group
+    # (or, for optic discard rules, the group's matcher spec — possibly
+    # a token pattern)
     for group in mustnot_groups:
-        if not group or any(t.nblocks == 0 for t in group):
-            continue
-        sub = cand
-        for tp in group:
-            if sub.size == 0:
-                break
-            _, _, found = tp.lookup(sub)
-            sub = sub[found]
-        if sub.size:
-            cand = cand[~np.isin(cand, sub, assume_unique=True)]
+        if isinstance(group, list):
+            if not group or any(t.nblocks == 0 for t in group):
+                continue
+            sub = cand
+            for tp in group:
+                if sub.size == 0:
+                    break
+                _, _, found = tp.lookup(sub)
+                sub = sub[found]
+            if sub.size:
+                cand = cand[~np.isin(cand, sub, assume_unique=True)]
+        else:
+            cand = cand[~matcher_mask(group, cand)]
     if cand.size == 0:
         return empty
 
-    # DiscardNonMatching: keep candidates matching >= 1 rule group
+    # DiscardNonMatching: keep candidates matching >= 1 rule matcher
     if require_any is not None:
         m = np.zeros(cand.size, dtype=bool)
-        for tps in require_any:
-            g = np.ones(cand.size, dtype=bool)
-            for tp in tps:
-                if tp.nblocks == 0:
-                    g[:] = False
-                    break
-                _, _, found = tp.lookup(cand)
-                g &= found
-            m |= g
+        for spec in require_any:
+            m |= matcher_mask(spec, cand)
         cand = cand[m]
         if cand.size == 0:
             return empty
@@ -650,14 +734,8 @@ def segment_topk(
     if boost_specs:
         boost = np.zeros(cand.size, dtype=np.float64)
         down = np.zeros(cand.size, dtype=np.float64)
-        for factor, tps in boost_specs:
-            m = np.ones(cand.size, dtype=bool)
-            for tp in tps:
-                if tp.nblocks == 0:
-                    m[:] = False
-                    break
-                _, _, found = tp.lookup(cand)
-                m &= found
+        for factor, spec in boost_specs:
+            m = matcher_mask(spec, cand)
             if factor >= 0:
                 boost[m] += factor
             else:
