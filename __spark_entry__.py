@@ -576,7 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _ann_root(sf_dir, kind):
         key = hashlib.md5(
-            f"ann-{kind}-v1|{os.path.abspath(sf_dir)}".encode()
+            f"ann-{kind}-v2|{os.path.abspath(sf_dir)}".encode()
         ).hexdigest()[:12]
         return os.path.join(_INDEX_ROOT, key)
 

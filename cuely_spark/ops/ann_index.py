@@ -92,10 +92,9 @@ def build_ivf_index(emb: DataFrame, out_path: str, ncells: int = 16,
     (trained with the deterministic kmeans-lite) go to meta.json."""
     first = emb.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
-    sample = np.stack([r[vec_col] for r in
-                       emb.select(id_col, vec_col).orderBy(id_col)
-                       .limit(IVF_SAMPLE_CAP).collect()]
-                      ).astype(np.float64)
+    from .similarity import _ivf_sample
+
+    sample = _ivf_sample(emb, vec_col, id_col)
     cents = train_ivf_centroids(sample, ncells, iters)
 
     def assign(batches):

@@ -98,22 +98,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                                     enumerate(cols)]).alias(f"band_{b}"))
     banded = sig.select("doc_id", F.explode(F.array(*band_cols))
                         .alias("bk"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_pairs(banded, "doc_a", "doc_b")
     sh = doc_shingles(docs, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # exact-Jaccard verification: the shingle equality lives IN the join
+    # condition (not a post-join filter) so the pair-vs-shingle join can
+    # never degrade to a per-pair cross product under a future optimizer
+    # regression; assert_no_cartesian in tests pins the plan
+    sh_b = sh.select(F.col("doc_id").alias("__doc_b"),
+                     F.col("shingle").alias("shingle_b"))
+    withed = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
     inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("shingle", "shingle_b"), "doc_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        withed.join(sh_b, (withed["doc_b"] == sh_b["__doc_b"])
+                    & (withed["shingle"] == sh_b["shingle_b"]))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -201,17 +198,45 @@ def _banded(df: DataFrame, id_out: str, sig_col: str, bands: int,
             for b in range(bands)])).alias("bk"))
 
 
-def _band_pairs(bandvals: DataFrame, id_out_a: str,
-                id_out_b: str) -> DataFrame:
+#: band buckets above this size are split into chunk-pair tasks
+MAX_BAND_BUCKET = 4096
+
+
+def _band_pairs(bandvals: DataFrame, id_out_a: str, id_out_b: str,
+                max_bucket: int = MAX_BAND_BUCKET) -> DataFrame:
     """Distinct id pairs sharing >= 1 (band, value) bucket. The shuffle
-    key is the bucket, never the cross product — the 100-TB path."""
-    a = bandvals.alias("a")
-    b = bandvals.alias("b")
-    ia, ib = bandvals.columns[0], bandvals.columns[0]
-    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col(f"a.{ia}") < F.col(f"b.{ib}")))
-            .select(F.col(f"a.{ia}").alias(id_out_a),
-                    F.col(f"b.{ib}").alias(id_out_b))
+    key is the bucket, never the cross product — the 100-TB path.
+
+    Skew guard: a degenerate bucket (boilerplate-heavy corpora where
+    thousands of ids share one band signature) would put |bucket|^2
+    candidate work into ONE join task. Buckets larger than `max_bucket`
+    are split into ceil(n/max_bucket) chunks (deterministic md5-chunk
+    assignment) and paired block-nested: a row in chunk c joins tasks
+    (c, j>=c) on the A side and (i<=c, c) on the B side, so every chunk
+    pair is one task of ~max_bucket^2 work keyed by (bucket, chunk,
+    chunk). Output pairs are IDENTICAL to the naive bucket join — the
+    split redistributes work, it drops nothing. Normal buckets emit one
+    task (chunk 0, 0) — the plan is unchanged for them."""
+    idc = bandvals.columns[0]
+    counts = bandvals.groupBy("bk").agg(F.count("*").alias("__n"))
+    nv = (bandvals.join(counts, "bk")
+          .withColumn("__nc", F.ceil(F.col("__n") / F.lit(max_bucket))
+                      .cast("int"))
+          .withColumn("__c", F.pmod(
+              h60_spark(F.col(idc).cast("string")),
+              F.col("__nc")).cast("int")))
+    a = (nv.select(F.col(idc).alias("__ia"), "bk",
+                   F.col("__c").alias("__t1"),
+                   F.explode(F.sequence(F.col("__c"),
+                                        F.col("__nc") - 1)).alias("__t2")))
+    b = (nv.select(F.col(idc).alias("__ib"), "bk",
+                   F.explode(F.sequence(F.lit(0),
+                                        F.col("__c"))).alias("__t1"),
+                   F.col("__c").alias("__t2")))
+    return (a.join(b, ["bk", "__t1", "__t2"])
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(F.least("__ia", "__ib").alias(id_out_a),
+                    F.greatest("__ia", "__ib").alias(id_out_b))
             .distinct())
 
 

@@ -135,6 +135,24 @@ def _round_half_away(x: np.ndarray, d: int = 6) -> np.ndarray:
 IVF_SAMPLE_CAP = 2048
 
 
+def _ivf_sample(emb: DataFrame, vec_col: str, id_col: str) -> np.ndarray:
+    """Deterministic pseudo-random training sample: order by
+    md5(CAST(id AS STRING)) (id tie-break), take IVF_SAMPLE_CAP.
+
+    Why not the lowest ids: at 100 TB the lowest ids are one shard /
+    time-slice, so id-ordered sampling trains centroids on a biased
+    corner of the corpus and probe recall silently degrades. The md5
+    order is uniform over the corpus yet exactly reproducible in the
+    DuckDB oracle (same ORDER BY md5 expression) and across cluster
+    layouts — an unordered limit() would be partition-layout-dependent.
+    The sample is tiny (<= 2048 rows) so the driver collect is safe."""
+    return np.stack(
+        [r[vec_col] for r in
+         emb.select(id_col, vec_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+         .limit(IVF_SAMPLE_CAP).collect()]).astype(np.float64)
+
+
 def train_ivf_centroids(sample: np.ndarray, ncells: int,
                         iters: int = 5) -> np.ndarray:
     """Deterministic kmeans-lite whose every step is reproducible in
@@ -168,13 +186,7 @@ def ivf_knn(emb: DataFrame, query_vec, k: int = 10, ncells: int = 16,
             id_col: str = "vec_id", iters: int = 5) -> DataFrame:
     """IVF ANN: kmeans-lite centroids (sampled, driver-side numpy),
     cells assigned via mapInPandas, query probes `nprobe` cells."""
-    # deterministic training sample: an unordered limit() is partition-
-    # layout-dependent, so the trained cells (and results) would differ
-    # across clusters/runs; global top-n by id is tiny (n<=2048) and stable
-    sample = np.stack([r[vec_col] for r in
-                       emb.select(id_col, vec_col).orderBy(id_col)
-                       .limit(IVF_SAMPLE_CAP).collect()]
-                      ).astype(np.float64)
+    sample = _ivf_sample(emb, vec_col, id_col)
     cents = train_ivf_centroids(sample, ncells, iters)
 
     def assign_cells(batches):

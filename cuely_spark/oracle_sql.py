@@ -697,7 +697,8 @@ cents{t + 1} AS (
 WITH {_unn_cte(dim)},
 vnorm AS (SELECT vec_id, sqrt(sum(v*v)) AS nv FROM unn GROUP BY vec_id),
 ranked AS (
-  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+  SELECT vec_id, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rnk
   FROM embeddings
 ),
 samp AS (SELECT vec_id FROM ranked WHERE rnk < {sample_cap}),

@@ -323,3 +323,94 @@ def test_gated_dedup_plans_are_bucketed(spark, docs_df, emb_df):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_pairs_hot_bucket_split_is_exact(spark):
+    """Skew guard: with a pathological corpus where EVERY id lands in
+    the same band bucket, the chunk-split path must (a) produce exactly
+    the naive all-pairs output (the split redistributes work, never
+    drops), (b) key the join on (bucket, chunk, chunk) so no single
+    task owns |bucket|^2 work, (c) stay CartesianProduct-free."""
+    from cuely_spark.ops.dedup import _band_pairs
+
+    n = 24
+    bandvals = spark.createDataFrame(
+        [(i, (0, 42)) for i in range(n)],
+        "id long, bk struct<band:int,val:long>")
+    split = _band_pairs(bandvals, "a", "b", max_bucket=4)
+    got = {(r["a"], r["b"]) for r in split.collect()}
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)}
+    assert got == want
+
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "__t1" in plan and "__t2" in plan  # chunk-pair join keys
+
+    # normal-sized buckets: single chunk, output unchanged
+    one = _band_pairs(bandvals, "a", "b", max_bucket=4096)
+    assert {(r["a"], r["b"]) for r in one.collect()} == want
+
+
+def test_minhash_verify_join_no_cartesian(spark, docs_df):
+    """The shingle-equality verification join must never be a per-pair
+    cross product (the equality is IN the join condition)."""
+    from cuely_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_df, threshold=0.3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # near-dup pair (0,1 exact; 2 near) still found through the split path
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_ivf_sample_unbiased_beats_id_ordered(spark, monkeypatch):
+    """Id-clustered corpus: the lowest ids are one tight direction
+    cluster (one shard / time-slice at scale), the true neighbors of
+    the query live in the high-id region. An id-ordered training sample
+    sees ONLY the low-id cluster, so the trained cells cannot separate
+    the high-id region and probe recall collapses; the md5-ordered
+    sample is uniform over ids and recovers the true top-k."""
+    import cuely_spark.ops.similarity as sim
+
+    rng = np.random.default_rng(3)
+    dim, n_low, n_high = 16, 200, 200
+    base_low = rng.normal(size=dim)
+    rows = []
+    for i in range(n_low):  # ids 0..199: tight cluster around base_low
+        v = base_low + 0.01 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(n_high):  # ids 200..399: diverse directions
+        v = rng.normal(size=dim)
+        rows.append((n_low + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    # query near a specific high-id vector
+    target = np.array(rows[n_low + 57][1])
+    query = target + 0.001 * rng.normal(size=dim)
+
+    exact = [r["vec_id"] for r in
+             sim.knn_bruteforce(emb, query, k=10).collect()]
+
+    monkeypatch.setattr(sim, "IVF_SAMPLE_CAP", n_low)  # cap < corpus
+
+    got_md5 = [r["vec_id"] for r in
+               sim.ivf_knn(emb, query, k=10, ncells=8, nprobe=2)
+               .collect()]
+    recall_md5 = len(set(got_md5) & set(exact)) / 10
+
+    def id_ordered_sample(e, vec_col, id_col):
+        return np.stack(
+            [r[vec_col] for r in
+             e.select(id_col, vec_col).orderBy(id_col)
+             .limit(sim.IVF_SAMPLE_CAP).collect()]).astype(np.float64)
+
+    monkeypatch.setattr(sim, "_ivf_sample", id_ordered_sample)
+    got_id = [r["vec_id"] for r in
+              sim.ivf_knn(emb, query, k=10, ncells=8, nprobe=2)
+              .collect()]
+    recall_id = len(set(got_id) & set(exact)) / 10
+
+    assert recall_md5 > recall_id
+    assert recall_md5 >= 0.8
