@@ -166,58 +166,40 @@ def porter_stem(word: str) -> str:
 # DETECTED language with English fallback,
 # /root/reference/crates/core/src/schema/text_field.rs:294-326 +
 # tokenizer/fields/stemmed.rs via rust-stemmers). English routes to the
-# classic Porter above; de/fr/es route to light suffix strippers in the
-# spirit of the Snowball "light" variants (documented deviation: not
-# Snowball-exact — no stemming library ships in this environment).
-# Inputs arrive lowercase + NFKD-diacritic-stripped (the Default
-# tokenizer chain), so the rules below work on stripped forms
-# (ä→a, é→e) — the same shape Snowball sees after its own
-# umlaut/accent preprocessing.
-
-def _light_stem(word: str, suffixes: tuple[str, ...],
-                min_stem: int) -> str:
-    for suf in suffixes:  # longest-first order in the tables below
-        if word.endswith(suf) and len(word) - len(suf) >= min_stem:
-            return word[: len(word) - len(suf)]
-    return word
-
+# classic Porter above (documented deviation: Snowball "Porter2"
+# differs on a small word set); de/fr/es route to the Snowball German /
+# French / Spanish algorithms implemented from the published specs in
+# :mod:`cuely_spark.snowball` — the same algorithms rust-stemmers
+# generates for the reference. Inputs from this engine's Default chain
+# arrive lowercase + NFKD-diacritic-stripped; the Snowball rules accept
+# both accented and stripped forms (see the snowball module docstring).
 
 def german_stem(word: str) -> str:
-    """German light stemmer: the noun/adjective declension suffixes of
-    Snowball German step 1 (e/em/en/ern/er/es) plus plural -s."""
-    if len(word) <= 3 or not word.isalpha():
+    """Snowball German (snowball.german_snowball); non-alpha passthrough
+    mirrors the Porter wrapper."""
+    if len(word) <= 2 or not word.isalpha():
         return word
-    word = _light_stem(word, ("ern", "em", "en", "er", "es", "e"), 4)
-    if word.endswith("s") and len(word) >= 5:
-        word = word[:-1]
-    return word
+    from .snowball import german_snowball
+
+    return german_snowball(word)
 
 
 def french_stem(word: str) -> str:
-    """French light stemmer: common derivational/inflectional endings
-    (accent-stripped forms: ée→ee, é→e)."""
-    if len(word) <= 3 or not word.isalpha():
+    """Snowball French (snowball.french_snowball)."""
+    if len(word) <= 2 or not word.isalpha():
         return word
-    return _light_stem(
-        word,
-        ("issement", "issants", "issant", "ements", "ement",
-         "euses", "euse", "ances", "ance", "ions", "ion", "ons", "on",
-         "ees", "ee", "es", "er", "ez", "e", "s"),
-        3)
+    from .snowball import french_snowball
+
+    return french_snowball(word)
 
 
 def spanish_stem(word: str) -> str:
-    """Spanish light stemmer: plural/gender endings and frequent verb /
-    derivational suffixes."""
-    if len(word) <= 3 or not word.isalpha():
+    """Snowball Spanish (snowball.spanish_snowball)."""
+    if len(word) <= 2 or not word.isalpha():
         return word
-    return _light_stem(
-        word,
-        ("amientos", "amiento", "aciones", "acion", "adores", "ador",
-         "idades", "idad", "mente", "istas", "ista", "osos", "osas",
-         "oso", "osa", "ando", "iendo", "ar", "er", "ir",
-         "as", "os", "es", "a", "o", "e", "s"),
-        3)
+    from .snowball import spanish_snowball
+
+    return spanish_snowball(word)
 
 
 STEMMERS = {
