@@ -5,14 +5,17 @@ Decoding is REAL for the formats this container can decode without
 codec libraries:
 
 - **BMP** (24-bit uncompressed) — pure-numpy header parse + row gather;
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced) — stdlib zlib inflate
+  + numpy per-row unfiltering (all five filter types incl. Paeth);
 - **WAV** (PCM) — stdlib ``wave`` + numpy frombuffer.
 
-Compressed codecs (JPEG/PNG/MP3/H.264) remain a marked substitution
-point: payloads whose magic bytes aren't BMP/WAV fall back to the
-deterministic md5 stub so schemas, batch shapes, partitioning, and UDF
-signatures stay real and tested everywhere. Swap `_decode_image` /
-`_decode_audio`'s fallback branch for PIL/ffmpeg in production — the
-Spark-side plumbing does not change.
+Compressed codecs needing an entropy/transform library (JPEG/MP3/
+H.264) remain a marked substitution point: payloads whose magic bytes
+aren't BMP/PNG/WAV fall back to the deterministic md5 stub so schemas,
+batch shapes, partitioning, and UDF signatures stay real and tested
+everywhere. Swap `_decode_image` / `_decode_audio`'s fallback branch
+for PIL/ffmpeg in production — the Spark-side plumbing does not
+change.
 """
 
 from __future__ import annotations
@@ -74,6 +77,103 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if bottom_up else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> PNG bytes (8-bit truecolor, filter 0 per
+    row, one zlib IDAT). Pure stdlib: zlib deflate + crc32."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 9)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> RGB uint8 (h, w, 3). Pure stdlib zlib inflate + numpy
+    per-row unfiltering (all five filter types incl. Paeth; 8-bit
+    gray / RGB / RGBA, no interlace). Closes the codec gap the builder
+    brief calls out — PNG needs no codec library, only DEFLATE."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, "
+                         f"interlace={interlace})")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    bpp = channels
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:    # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0      # left
+                b = prev[x]                              # up
+                if ftype == 1:    # Sub
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    rec[x] = (rec[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
     import wave
@@ -111,7 +211,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    # SUBSTITUTION POINT: JPEG/PNG need a codec lib (PIL/opencv) not
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    # SUBSTITUTION POINT: JPEG needs a codec lib (PIL/opencv) not
     # shipped in this container — deterministic fake pixels keep the
     # pipeline testable end-to-end
     seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
@@ -143,8 +245,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             w = int(rng.integers(4, 33))
             h = int(rng.integers(4, 33))
-            payload = encode_bmp(
-                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            # alternate real codecs so BOTH decode paths run end-to-end
+            payload = encode_png(px) if (i // 3) % 2 else encode_bmp(px)
             rows.append((i, kind, bytearray(payload), w, h, None, None))
         elif kind == "audio":
             sr = 16000

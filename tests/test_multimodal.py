@@ -53,8 +53,12 @@ def test_media_table_and_image_features(spark):
     # features come from REAL decoded pixels: recompute locally
     payloads = {r["media_id"]: bytes(r["payload"]) for r in
                 media.filter("kind = 'image'").collect()}
+    from cuely_spark.ops.multimodal import decode_png
+
     for r in rows:
-        img = decode_bmp(payloads[r["media_id"]])
+        payload = payloads[r["media_id"]]
+        img = (decode_png(payload) if payload[:4] == b"\x89PNG"
+               else decode_bmp(payload))
         np.testing.assert_allclose(
             [r["mean_r"], r["mean_g"], r["mean_b"]],
             img.reshape(-1, 3).mean(axis=0))
@@ -97,3 +101,108 @@ def test_audio_chunk_stats_real_wav(spark):
         # first chunk's RMS matches a local recompute of the real PCM
         np.testing.assert_allclose(
             chunks[0], float(np.sqrt(np.mean(samples[:step] ** 2))))
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode_png(filter 0) round-trips; the decoder handles every PNG
+    filter type (Sub/Up/Average/Paeth) on a hand-filtered stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cuely_spark.ops.multimodal import (_PNG_SIG, decode_png,
+                                            encode_png)
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+    # hand-build a stream using each filter type per row
+    h, w, bpp = px.shape[0], px.shape[1], 3
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = [0, 1, 2, 3, 4][y % 5]
+        rec = flat[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            filt[x] = (rec[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_gray_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cuely_spark.ops.multimodal import _PNG_SIG, decode_png
+
+    def mk(ctype, channels, px):
+        h, w = px.shape[:2]
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        idat = zlib.compress(raw)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I",
+                                  zlib.crc32(tag + data) & 0xFFFFFFFF))
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(4, 5, 1), dtype=np.uint8)
+    got = decode_png(mk(0, 1, gray))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    got = decode_png(mk(6, 4, rgba))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_image_features_decode_png_payloads(spark):
+    """The Spark feature extractor must produce REAL stats for PNG
+    payloads (not the md5 stub)."""
+    import numpy as np
+
+    from cuely_spark.ops.multimodal import (MEDIA_SCHEMA, encode_png,
+                                            extract_image_features)
+
+    px = np.zeros((6, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # pure-ish red
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(px)), 6, 6, None, None)],
+        schema=MEDIA_SCHEMA)
+    row = extract_image_features(df).collect()[0]
+    assert row["mean_r"] == 200.0 and row["mean_g"] == 0.0
