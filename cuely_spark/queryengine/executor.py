@@ -88,6 +88,47 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
     return specs, negs
 
 
+def _group_arrow_postings(tbl):
+    """Yield (segment_id, {term: TermPostings}) straight from an arrow
+    table — no pandas. The per-group pandas machinery costs ~1 ms per
+    (segment, term) group, which dominates driver-local small-query
+    latency at 64 segments; plain index grouping over the handful of
+    pruned posting rows is ~free."""
+    n = tbl.num_rows
+    if n == 0:
+        return
+    seg = tbl["segment_id"].to_numpy().astype(np.int64)
+    term = tbl["term"].to_pylist()
+    block = tbl["block_id"].to_numpy().astype(np.int64)
+    first = tbl["first_doc"].to_numpy().astype(np.int64)
+    last = tbl["last_doc"].to_numpy().astype(np.int64)
+    nd = tbl["ndocs"].to_numpy().astype(np.int64)
+    bmt = tbl["block_max_tf"].to_numpy().astype(np.int64)
+    bmf = tbl["block_min_fnid"].to_numpy().astype(np.int64)
+    docs = tbl["docs"].to_pylist()
+    tfs = tbl["tfs"].to_pylist()
+    fnids = tbl["fnids"].to_pylist()
+    poss = (tbl["positions"].to_pylist()
+            if "positions" in tbl.column_names else None)
+    groups: dict[int, dict[str, list[int]]] = {}
+    for i in range(n):
+        groups.setdefault(int(seg[i]), {}).setdefault(term[i],
+                                                      []).append(i)
+    for s, terms in groups.items():
+        by_term = {}
+        for t, idx in terms.items():
+            idx = sorted(idx, key=lambda i: block[i])
+            ia = np.asarray(idx, dtype=np.int64)
+            by_term[t] = TermPostings(
+                first[ia], last[ia], nd[ia],
+                [docs[i] for i in idx], [tfs[i] for i in idx],
+                [fnids[i] for i in idx],
+                positions=([poss[i] for i in idx]
+                           if poss is not None else None),
+                block_max_tf=bmt[ia], block_min_fnid=bmf[ia])
+        yield s, by_term
+
+
 def _matcher_spec(m, by_term, empty_tp, doclen_fn=None):
     """Compile an optic matcher (optic.compile_rules shape) into the
     kernel's matcher-spec shape (kernel.matcher_mask)."""
@@ -145,6 +186,13 @@ class IndexReader:
     #: run in ONE task (coordinator path); above it, per-segment fanout.
     small_query_blocks: int = 4096
 
+    #: search_collect() runs queries at or below this many estimated
+    #: posting blocks driver-locally (pyarrow-pruned read + the same
+    #: numpy kernel, no Spark job — see :meth:`search_local`); 0
+    #: disables auto-routing. The DataFrame-returning :meth:`search`
+    #: (and every correctness gate) always takes the distributed path.
+    local_threshold: int = 4096
+
     def __init__(self, spark, path: str):
         self.spark = spark
         self.path = path
@@ -164,6 +212,7 @@ class IndexReader:
         self._offsets = self.stats.get("segment_offsets")
         self._postings_df = None
         self._segment_docs = None
+        self._local_dataset = None
 
     @property
     def postings_df(self):
@@ -984,9 +1033,123 @@ class IndexReader:
             "SELECT CAST(NULL AS LONG) AS doc_id, "
             "CAST(NULL AS DOUBLE) AS score WHERE 1=0")
 
+    def _local_postings(self, terms: list[str], with_positions: bool):
+        """Driver-local pyarrow read of the pruned posting rows: the
+        term-IN filter prunes parquet row-groups via min/max stats
+        (postings are written term-sorted within each segment), so a
+        small query reads KBs, not the index."""
+        import pyarrow.dataset as ds
+
+        cols = _POSTING_COLS + (["positions"] if with_positions else [])
+        if self._local_dataset is None:
+            # cache the dataset object: file discovery over the segment
+            # dirs costs tens of ms and freezes the snapshot exactly
+            # like postings_df does for the distributed path
+            self._local_dataset = ds.dataset(self._postings_path,
+                                             format="parquet",
+                                             partitioning="hive")
+        return self._local_dataset.to_table(
+            columns=cols, filter=ds.field("term").isin(terms))
+
+    def search_local(self, query: str | ParsedQuery,
+                     k: int = TOP_K_DEFAULT, dtype=np.float32,
+                     occur: str = "must", offset: int = 0,
+                     should: str | ParsedQuery | None = None,
+                     compound_terms: bool | None = None,
+                     stemmed: bool | None = None,
+                     lang: str | None = None):
+        """Driver-local execution: pyarrow-pruned posting read + the
+        SAME numpy segment kernel and merge order as the distributed
+        path — no Spark job. Returns (doc_ids, scores) numpy arrays.
+
+        This is the coordinator-handles-small-queries path taken to its
+        conclusion: the reference executes a query in-process on a
+        searcher thread (crates/core/src/inverted_index/search.rs); in
+        Spark local mode a KB-scale posting read still pays a
+        ~0.3-0.4 s job-scheduling floor, which this path removes. The
+        distributed :meth:`search` stays the default for DataFrame
+        consumers and every correctness gate; rank identity between the
+        two paths is pinned by tests/test_local_path.py."""
+        pq = parse_query(query) if isinstance(query, str) else query
+        spq = None
+        if should is not None:
+            spq = (parse_query(should) if isinstance(should, str)
+                   else should)
+            if spq.negative:
+                raise ValueError(
+                    "negations belong in the must query, not in should")
+        s_terms = spq.all_terms() if spq is not None else []
+        compounds, c_terms = self._plan_alternatives(
+            pq, compound_terms, stemmed, occur, lang=lang)
+        dfs = self.term_dfs(list(dict.fromkeys(
+            pq.all_terms() + s_terms + c_terms)))
+        compounds = self._prune_dead_alts(compounds, dfs)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+        if occur == "should":
+            if any(c.kind != "term" for c in pq.positive):
+                raise ValueError(
+                    "occur='should' supports plain term clauses only")
+            if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
+                return empty
+        elif self._dead_clause(pq, compounds, dfs):
+            return empty
+        weights = self._weights(pq, dfs, dtype)
+        if spq is not None:
+            weights.update(self._weights(spq, dfs, dtype))
+        for t in c_terms:
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self.avg_fieldnorm, dtype=dtype)
+        has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
+            spq is not None
+            and any(c.kind == "phrase" for c in spq.positive))
+        terms = list(dict.fromkeys(
+            pq.all_terms() + s_terms + c_terms))
+        tbl = self._local_postings(terms, has_phrase)
+        seg_k = k + offset
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        for _seg, by_term in _group_arrow_postings(tbl):
+            specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                      compounds=compounds)
+            if occur == "should":
+                term_specs = [(tp, w) for _kind, tp, w in specs]
+                docs, scores = union_topk(term_specs, seg_k,
+                                          dtype=dtype,
+                                          mustnot_groups=negs)
+            else:
+                sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
+                          if spq is not None else None)
+                docs, scores = segment_topk(specs, negs, seg_k,
+                                            dtype=dtype,
+                                            should_specs=sspecs)
+            if docs.size:
+                parts.append((docs, scores))
+        if not parts:
+            return empty
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        # global merge: score desc, doc_id asc — identical to the
+        # distributed TakeOrderedAndProject ordering
+        order = np.lexsort((docs, -scores.astype(np.float64)))
+        order = order[offset:offset + k]
+        return docs[order], scores[order]
+
     def search_collect(self, query, k: int = TOP_K_DEFAULT,
-                       dtype=np.float32):
-        """(doc_ids, scores) numpy arrays — test/bench convenience."""
+                       dtype=np.float32, local: bool | None = None):
+        """(doc_ids, scores) numpy arrays.
+
+        local=None auto-routes: queries whose estimated posting-block
+        count is at or below `local_threshold` run driver-locally
+        (:meth:`search_local`), larger ones through the distributed
+        engine. local=True/False forces a path."""
+        if local is None and self.local_threshold > 0:
+            pq = parse_query(query) if isinstance(query, str) else query
+            compounds, c_terms = self._plan_alternatives(pq, None, None)
+            dfs = self.term_dfs(list(dict.fromkeys(
+                pq.all_terms() + c_terms)))
+            est = sum(-(-df // 128) + 1 for df in dfs.values())
+            local = est <= self.local_threshold
+        if local:
+            return self.search_local(query, k=k, dtype=dtype)
         rows = self.search(query, k=k, dtype=dtype).collect()
         return (np.array([r["doc_id"] for r in rows], dtype=np.int64),
                 np.array([r["score"] for r in rows], dtype=dtype))

@@ -23,10 +23,10 @@ def reader(spark, transcripts_small, tmp_path_factory):
                                "the", "website -test"])
 def test_fanout_path_matches_single_task(reader, oracle_small, q):
     reader.small_query_blocks = 10**9  # force single-task
-    d1, s1 = reader.search_collect(q, k=20)
+    d1, s1 = reader.search_collect(q, k=20, local=False)
     reader.small_query_blocks = 0      # force per-segment fanout
     try:
-        d2, s2 = reader.search_collect(q, k=20)
+        d2, s2 = reader.search_collect(q, k=20, local=False)
     finally:
         reader.small_query_blocks = 4096
     assert d1.tolist() == d2.tolist()
