@@ -123,6 +123,48 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
         fn(spark, sf_dir).collect()
         doc_queries[name] = round(time.time() - tq, 4)
 
+    # ---- 4. sf1-equivalent rep: one 6M-turn build+query pass so the
+    # fixed-tail amortization and segment-count story (~640 segments at
+    # the sf0.1 per-segment size) is measured, not extrapolated.
+    # Default on for the driver's sf0.1 run; scaling --single runs
+    # suppress it (CUELY_BENCH_BIG=0) to keep configs iso-work.
+    big_out = None
+    if int(os.environ.get("CUELY_BENCH_BIG",
+                          "1" if sf_of(sf_dir) >= 0.1 else "0")):
+        import shutil
+
+        n_big = int(os.environ.get("CUELY_BENCH_BIG_TURNS", "6000000"))
+        dfb = transcripts_df(spark, n_big, seed=43, partitions=64)
+        dfb.write.mode("overwrite").parquet(f"{workdir}/transcripts_big")
+        srcb = spark.read.parquet(f"{workdir}/transcripts_big")
+        # same ~9.4k turns/segment as the sf0.1 run -> ~640 segments
+        nseg_big = max(64, n_big // 9375)
+        tb0 = time.time()
+        build_index(spark, srcb, f"{workdir}/tindex_big",
+                    num_segments=nseg_big, num_jobs=1)
+        big_build = time.time() - tb0
+        rb = IndexReader(spark, f"{workdir}/tindex_big")
+        big_q: dict[str, float] = {}
+        for name, q in QUERY_SET.items():
+            rb.search_collect(q, k=20)  # warm
+            times = []
+            for _ in range(reps):
+                tq = time.time()
+                rb.search_collect(q, k=20)
+                times.append(time.time() - tq)
+            big_q[name] = round(statistics.median(times), 4)
+        big_out = {
+            "n_turns": n_big,
+            "build_sec": round(big_build, 2),
+            "build_turns_per_sec": round(n_big / big_build, 1),
+            "num_segments": nseg_big,
+            "query_p50": round(statistics.median(
+                sorted(big_q.values())), 4),
+            "queries": big_q,
+        }
+        for d in ("transcripts_big", "tindex_big"):
+            shutil.rmtree(f"{workdir}/{d}", ignore_errors=True)
+
     p50 = statistics.median(sorted(queries.values()))
     all_queries = {**queries, **doc_queries}
     out = {
@@ -140,6 +182,8 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
         "regression_vs_prev": _regression_vs_prev(all_queries),
         "index_stats": r.stats,
     }
+    if big_out is not None:
+        out["sf1_equiv"] = big_out
     spark.stop()
     return out
 
@@ -200,7 +244,8 @@ def run_scaling(sf_dir: str, n_turns: int, reps: int = 3) -> None:
                 [sys.executable, __file__, "--single", f"{cores}:{tc}"],
                 capture_output=True, text=True,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-                     "CUELY_BENCH_TURNS": str(n_turns)},
+                     "CUELY_BENCH_TURNS": str(n_turns),
+                     "CUELY_BENCH_BIG": "0"},
                 check=True,
             )
             r = json.loads(p.stdout.strip().splitlines()[-1])
