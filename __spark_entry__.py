@@ -32,6 +32,11 @@ FT_QUERIES = {
     # near-phrase: total positional budget via "..."~N (slop)
     "ft_phrase_slop": ('"scan merge"~2 table', None),
     "ft_phrase_slop3": ('"key order sort"~3', None),
+    # fuzzy terms: word~N expands to dictionary neighbors within
+    # Levenshtein N ('quer' is NOT in the corpus -> typo recovery;
+    # 'sort~2' also matches docs with 'part')
+    "ft_fuzzy_typo": ("quer~1 table", None),
+    "ft_fuzzy2": ("sort~2", None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),

@@ -178,12 +178,46 @@ dfs AS (
   FROM {stream} WHERE term IN ({terms_in}) GROUP BY term
 )""")
 
+    if any(c.kind == "term" and c.fuzzy for c in pq.positive):
+        # fuzzy clauses need the FULL vocabulary (the expansion set is
+        # computed in SQL, not enumerated)
+        ctes.append("""tf_all AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  GROUP BY doc_id, term
+),
+dfs_all AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  GROUP BY term
+)""")
+
     joins = ["CROSS JOIN stats s"]
     score_terms = []
     exists_conds = []
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
-        if c.kind == "term" and alts:
+        if c.kind == "term" and c.fuzzy:
+            # fuzzy or-group: members = dictionary terms within the
+            # Levenshtein budget, (df desc, term asc) capped at 50 —
+            # mirrors IndexReader.fuzzy_terms; score = sum of matching
+            # members' BM25 contributions (or-group semantics)
+            ctes.append(f"""fz{ci} AS (
+  SELECT term, df FROM dfs_all
+  WHERE levenshtein(term, {_q(c.tokens[0])}) <= {c.fuzzy}
+  ORDER BY df DESC, term LIMIT 50
+),
+fs{ci} AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - z.df + 0.5) / (z.df + 0.5))
+             * (t.tf * 2.2) / (t.tf + 1.2 *
+                (1 - 0.75 + 0.75 * q.fnq / s.avgfn))) AS sc
+  FROM tf_all t JOIN fz{ci} z USING (term)
+  JOIN dlq q ON q.doc_id = t.doc_id CROSS JOIN stats s
+  GROUP BY t.doc_id
+)""")
+            joins.append(f"LEFT JOIN fs{ci} "
+                         f"ON fs{ci}.doc_id = cand.doc_id")
+            score_terms.append(f"COALESCE(fs{ci}.sc, 0.0)")
+        elif c.kind == "term" and alts:
             members = [c.tokens[0]] + alts
             member_scores = []
             for mi, m in enumerate(members):
@@ -237,7 +271,11 @@ dfs AS (
     # candidate set: all positive clauses matched, no negative group fully
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
-        if c.kind == "term" and alts:
+        if c.kind == "term" and c.fuzzy:
+            exists_conds.append(
+                f"EXISTS (SELECT 1 FROM fs{ci} "
+                f"WHERE fs{ci}.doc_id = cand.doc_id)")
+        elif c.kind == "term" and alts:
             any_m = " OR ".join(
                 f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
                 f"AND tf.term = {_q(m)})"

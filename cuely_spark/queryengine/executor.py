@@ -318,8 +318,77 @@ class IndexReader:
                 if c.kind == "term":
                     compounds.setdefault(i, []).append(
                         "s:" + stem_q(c.tokens[0]))
+        # fuzzy terms (`word~N`) expand to their dictionary neighbors,
+        # riding the same (term OR alternatives) or-group plan shape
+        for i, c in enumerate(pq.clauses):
+            if c.kind == "term" and c.fuzzy:
+                if occur == "should":
+                    raise ValueError(
+                        "fuzzy terms require occur='must'")
+                alts = [t for t in self.fuzzy_terms(c.tokens[0], c.fuzzy)
+                        if t != c.tokens[0]]
+                if alts:
+                    compounds.setdefault(i, []).extend(alts)
         c_terms = [t for alts in compounds.values() for t in alts]
         return compounds, c_terms
+
+    #: Lucene's default cap on fuzzy-query expansions
+    max_fuzzy_expansions: int = 50
+
+    def fuzzy_terms(self, token: str, d: int,
+                    cap: int | None = None) -> list[str]:
+        """Dictionary terms within Levenshtein distance `d` of `token`,
+        ordered (df desc, term asc), capped at `max_fuzzy_expansions`
+        (Lucene's default) — the tantivy FuzzyTermQuery expansion
+        (crates/tantivy/src/query/fuzzy_query/mod.rs walks an FST with
+        a Levenshtein automaton; the parquet term-stats table is this
+        engine's FST stand-in, so the expansion is a driver-local
+        columnar scan with a length-band prefilter and ONE vectorized
+        DP across all candidates — O(|band| * len^2) numpy ops).
+
+        Scale note: at extreme vocabularies a deletion-neighborhood
+        sidecar (SymSpell) or a real FST would replace the linear band
+        scan; the query plan downstream is unchanged either way."""
+        import pyarrow.dataset as ds
+
+        cap = cap or self.max_fuzzy_expansions
+        tbl = ds.dataset(self._term_stats_path,
+                         format="parquet").to_table(
+            columns=["term", "df"])
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        dfv = np.asarray(tbl["df"].to_numpy(), dtype=np.int64)
+        # exclude shadow/attribute namespaces (b:, s:, f:, lang:, ...)
+        plain = np.array([(":" not in t) for t in terms], dtype=bool)
+        lens = np.array([len(t) for t in terms], dtype=np.int64)
+        band = plain & (np.abs(lens - len(token)) <= d)
+        cand = terms[band]
+        cdf = dfv[band]
+        if cand.size == 0:
+            return []
+        lmax = int(lens[band].max())
+        mat = np.zeros((cand.size, lmax), dtype=np.int64)
+        for i, t in enumerate(cand):
+            mat[i, : len(t)] = [ord(c) for c in t]
+        clens = lens[band]
+        tcodes = np.array([ord(c) for c in token], dtype=np.int64)
+        # vectorized Levenshtein DP: rows over the token's chars, each
+        # row a numpy op across every candidate at once
+        prev = np.tile(np.arange(lmax + 1, dtype=np.int64),
+                       (cand.size, 1))
+        for i, tc in enumerate(tcodes, start=1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            for j in range(1, lmax + 1):
+                sub = prev[:, j - 1] + (mat[:, j - 1] != tc)
+                cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                                  cur[:, j - 1] + 1),
+                                       sub)
+            prev = cur
+        ed = prev[np.arange(cand.size), clens]
+        ok = ed <= d
+        matched = sorted(zip(cand[ok].tolist(), cdf[ok].tolist()),
+                         key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in matched[:cap]]
 
     @staticmethod
     def _prune_dead_alts(compounds: dict, dfs: dict[str, int]) -> dict:

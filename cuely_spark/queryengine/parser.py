@@ -15,6 +15,13 @@ query/plan/mod.rs:235-300) for a single-text-field index:
 - "quoted phrase" -> Must phrase: tokens must appear adjacent (slop 0).
                      Smart quotes accepted. (parser/mod.rs: phrase incl.
                      smart quotes “”)
+- word~N          -> fuzzy term: expands to dictionary terms within
+                     Levenshtein distance N (1..2) via the term-stats
+                     table (the tantivy FuzzyTermQuery analog,
+                     crates/tantivy/src/query/fuzzy_query/mod.rs —
+                     there via an FST Levenshtein automaton; here a
+                     driver-side dictionary expansion feeding the same
+                     or-group plan shape as compound augmentation).
 - "a b"~N         -> near-phrase: total positional slop budget N
                      (tantivy slop phrases,
                      crates/tantivy/src/query/phrase_query/
@@ -44,11 +51,17 @@ MAX_PHRASE_WORDS = 32
 MAX_SLOP = 255
 
 
+#: max edit distance for `word~N` fuzzy terms (Lucene/tantivy
+#: FuzzyTermQuery support distances up to 2)
+MAX_FUZZY = 2
+
+
 @dataclass(frozen=True)
 class Clause:
     kind: str                 # "term" | "phrase" | "not"
     tokens: tuple[str, ...]   # normalized tokens
     slop: int = 0             # phrase clauses only: positional budget
+    fuzzy: int = 0            # term clauses only: Levenshtein distance
 
 
 @dataclass
@@ -157,14 +170,25 @@ def parse_query(q: str) -> ParsedQuery:
         elif (filt := _as_filter(raw)) is not None:
             clauses.append(Clause("filter", (filt,)))
         else:
+            # bareword `word~N` -> fuzzy term (Levenshtein distance N,
+            # the tantivy FuzzyTermQuery / Lucene `term~N` analog);
+            # only when the base tokenizes to ONE token
+            fuzzy = 0
+            if "~" in raw and not raw.endswith("~"):
+                base, _, suffix = raw.rpartition("~")
+                if base and suffix.isdigit():
+                    btoks = tokenize(base)
+                    if len(btoks) == 1:
+                        raw, fuzzy = base, min(int(suffix), MAX_FUZZY)
             for t in tokenize(raw):
-                clauses.append(Clause("term", (t,)))
+                clauses.append(Clause("term", (t,), fuzzy=fuzzy))
+                fuzzy = 0
     # boolean simplification: idempotent AND — drop duplicate clauses
     # (reference: query/plan/node.rs:124-135 deduplicate())
-    seen: set[tuple[str, tuple[str, ...], int]] = set()
+    seen: set[tuple] = set()
     dedup: list[Clause] = []
     for c in clauses:
-        key = (c.kind, c.tokens, c.slop)
+        key = (c.kind, c.tokens, c.slop, c.fuzzy)
         if key not in seen:
             seen.add(key)
             dedup.append(c)

@@ -1,0 +1,78 @@
+"""Fuzzy term queries (`word~N`): parser, dictionary expansion, and
+rank parity between the local and distributed paths."""
+
+import numpy as np
+import pytest
+
+from cuely_spark.queryengine.parser import parse_query
+
+
+def test_parser_fuzzy_forms():
+    pq = parse_query("quer~1 table")
+    assert pq.clauses[0].kind == "term"
+    assert pq.clauses[0].fuzzy == 1
+    assert pq.clauses[1].fuzzy == 0
+    # cap at 2; ~0 is not fuzzy; non-numeric suffix is a plain split
+    assert parse_query("word~9").clauses[0].fuzzy == 2
+    assert parse_query("word~0").clauses[0].fuzzy == 0
+    pq = parse_query("word~x")
+    assert all(c.fuzzy == 0 for c in pq.clauses)
+    # quoted phrases keep slop semantics, not fuzzy
+    pq = parse_query('"a b"~1')
+    assert pq.clauses[0].kind == "phrase" and pq.clauses[0].slop == 1
+
+
+@pytest.fixture(scope="module")
+def reader(spark, transcripts_small, tmp_path_factory):
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    df = spark.createDataFrame(
+        transcripts_small.drop(columns=["expected_doc_id"]))
+    out = str(tmp_path_factory.mktemp("idx_fuzzy"))
+    build_index(spark, df, out, rows_per_segment=1200)
+    return IndexReader(spark, out)
+
+
+def test_fuzzy_terms_expansion(reader):
+    # exact term is always its own neighbor; expansion ordered df desc
+    terms = reader.fuzzy_terms("test", 1)
+    assert "test" in terms
+    dfs = reader.term_dfs(terms)
+    assert all(dfs[t] > 0 for t in terms)
+    # every expansion is within the Levenshtein budget
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    for t in terms:
+        assert ed("test", t) <= 1, t
+    # d=2 is a superset of d=1
+    t2 = set(reader.fuzzy_terms("test", 2))
+    assert set(terms) <= t2 or len(terms) == reader.max_fuzzy_expansions
+
+
+def test_fuzzy_search_recovers_typo(reader, oracle_small):
+    # "tset"-like typo: query a term absent from the corpus whose
+    # neighbor exists; membership comes entirely from the expansion
+    d_typo, _ = reader.search_collect("tst~1", k=20)
+    assert d_typo.size > 0
+    # exact-term query results are a subset-ish sanity: every doc
+    # matching plain "test" matches the fuzzy group too
+    d_exact, _ = reader.search_collect("test", k=reader.num_docs)
+    d_fuzzy, _ = reader.search_collect("test~1", k=reader.num_docs)
+    assert set(d_exact.tolist()) <= set(d_fuzzy.tolist())
+
+
+def test_fuzzy_local_matches_distributed(reader):
+    dl, sl = reader.search_local("test~1 the", k=25)
+    rows = reader.search("test~1 the", k=25).collect()
+    assert dl.tolist() == [r["doc_id"] for r in rows]
+    np.testing.assert_allclose(sl, [r["score"] for r in rows],
+                               rtol=1e-6)
