@@ -656,7 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as dedup_minhash_lsh at another threshold). Every entry still
     # runs under scripts/check_correctness.py with its oracle.
     tail = ["ft_phrase_all", "ft_count_phrase", "ft_count_not",
-            "ft_topk20", "ft_batch_queries", "dedup_ngram_jaccard"]
+            "ft_topk20", "ft_batch_queries", "dedup_ngram_jaccard",
+            "dedup_minhash_sigs", "dedup_simhash"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
