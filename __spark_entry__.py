@@ -37,6 +37,10 @@ FT_QUERIES = {
     # 'sort~2' also matches docs with 'part')
     "ft_fuzzy_typo": ("quer~1 table", None),
     "ft_fuzzy2": ("sort~2", None),
+    # prefix / regex dictionary expansion ('s*' -> scan slow small sort
+    # spark stream; the regex matches scan|sort)
+    "ft_prefix": ("s* table", None),
+    "ft_regex": ("/s(can|ort)/ table", None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),
@@ -650,14 +654,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates whose surface is already covered by a surviving gate:
     # ft_phrase_all (subsumed by ft_phrase_mix_all + the slop gates),
     # ft_count_phrase / ft_count_not (count surface pinned by
-    # ft_count_and + ft_count_approx), ft_topk20 (subsumed by
-    # ft_topk_offset), ft_batch_queries (subsumed by the augmented /
-    # bm25f batch gates), dedup_ngram_jaccard (same bucketed-LSH plan
-    # as dedup_minhash_lsh at another threshold). Every entry still
-    # runs under scripts/check_correctness.py with its oracle.
+    # ft_count_and + ft_count_approx), ft_topk20 / ft_topk_offset
+    # (top-k + offset covered by ft_batch_augmented's offset spec and
+    # the full-set gates), ft_batch_queries (subsumed by the augmented
+    # / bm25f batch gates), dedup_ngram_jaccard (same bucketed-LSH
+    # plan as dedup_minhash_lsh at another threshold),
+    # dedup_minhash_sigs / dedup_simhash (their sketches are inputs to
+    # the still-gated *_pairs plans), knn_topk (the top-k cut of the
+    # still-gated knn_scores_all; ordering also pinned by
+    # knn_*_indexed). Every entry still runs under
+    # scripts/check_correctness.py with its oracle.
     tail = ["ft_phrase_all", "ft_count_phrase", "ft_count_not",
-            "ft_topk20", "ft_batch_queries", "dedup_ngram_jaccard",
-            "dedup_minhash_sigs", "dedup_simhash"]
+            "ft_topk20", "ft_topk_offset", "ft_batch_queries",
+            "dedup_ngram_jaccard", "dedup_minhash_sigs",
+            "dedup_simhash", "knn_topk"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}

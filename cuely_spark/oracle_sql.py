@@ -178,8 +178,21 @@ dfs AS (
   FROM {stream} WHERE term IN ({terms_in}) GROUP BY term
 )""")
 
-    if any(c.kind == "term" and c.fuzzy for c in pq.positive):
-        # fuzzy clauses need the FULL vocabulary (the expansion set is
+    def _expansion_cond(c) -> str | None:
+        """Dictionary-match condition for fuzzy/prefix/regex clauses —
+        mirrors IndexReader.{fuzzy,prefix,regex}_terms."""
+        if c.kind != "term":
+            return None
+        if c.fuzzy:
+            return f"levenshtein(term, {_q(c.tokens[0])}) <= {c.fuzzy}"
+        if c.prefix:
+            return f"starts_with(term, {_q(c.tokens[0])})"
+        if c.regex:
+            return f"regexp_full_match(term, {_q(c.tokens[0])})"
+        return None
+
+    if any(_expansion_cond(c) for c in pq.positive):
+        # expansion clauses need the FULL vocabulary (the member set is
         # computed in SQL, not enumerated)
         ctes.append("""tf_all AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
@@ -195,14 +208,14 @@ dfs_all AS (
     exists_conds = []
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
-        if c.kind == "term" and c.fuzzy:
-            # fuzzy or-group: members = dictionary terms within the
-            # Levenshtein budget, (df desc, term asc) capped at 50 —
-            # mirrors IndexReader.fuzzy_terms; score = sum of matching
-            # members' BM25 contributions (or-group semantics)
+        if (fcond := _expansion_cond(c)) is not None:
+            # expansion or-group (fuzzy/prefix/regex): members =
+            # dictionary terms matching the condition, (df desc, term
+            # asc) capped at 50 — mirrors the IndexReader expansion;
+            # score = sum of matching members' BM25 contributions
             ctes.append(f"""fz{ci} AS (
   SELECT term, df FROM dfs_all
-  WHERE levenshtein(term, {_q(c.tokens[0])}) <= {c.fuzzy}
+  WHERE {fcond}
   ORDER BY df DESC, term LIMIT 50
 ),
 fs{ci} AS (
@@ -271,7 +284,7 @@ fs{ci} AS (
     # candidate set: all positive clauses matched, no negative group fully
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
-        if c.kind == "term" and c.fuzzy:
+        if _expansion_cond(c) is not None:
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM fs{ci} "
                 f"WHERE fs{ci}.doc_id = cand.doc_id)")

@@ -318,22 +318,72 @@ class IndexReader:
                 if c.kind == "term":
                     compounds.setdefault(i, []).append(
                         "s:" + stem_q(c.tokens[0]))
-        # fuzzy terms (`word~N`) expand to their dictionary neighbors,
-        # riding the same (term OR alternatives) or-group plan shape
+        # fuzzy (`word~N`) / prefix (`word*`) / regex (`/pat/`) terms
+        # expand to their dictionary matches, riding the same
+        # (term OR alternatives) or-group plan shape
         for i, c in enumerate(pq.clauses):
-            if c.kind == "term" and c.fuzzy:
-                if occur == "should":
-                    raise ValueError(
-                        "fuzzy terms require occur='must'")
-                alts = [t for t in self.fuzzy_terms(c.tokens[0], c.fuzzy)
-                        if t != c.tokens[0]]
-                if alts:
-                    compounds.setdefault(i, []).extend(alts)
+            if c.kind != "term" or not (c.fuzzy or c.prefix or c.regex):
+                continue
+            if occur == "should":
+                raise ValueError(
+                    "fuzzy/prefix/regex terms require occur='must'")
+            if c.fuzzy:
+                exp = self.fuzzy_terms(c.tokens[0], c.fuzzy)
+            elif c.prefix:
+                exp = self.prefix_terms(c.tokens[0])
+            else:
+                exp = self.regex_terms(c.tokens[0])
+            alts = [t for t in exp if t != c.tokens[0]]
+            if alts:
+                compounds.setdefault(i, []).extend(alts)
         c_terms = [t for alts in compounds.values() for t in alts]
         return compounds, c_terms
 
-    #: Lucene's default cap on fuzzy-query expansions
+    #: Lucene's default cap on fuzzy/prefix/regex-query expansions
     max_fuzzy_expansions: int = 50
+
+    def _vocab(self):
+        """(terms, dfs) of the plain-text dictionary (shadow/attribute
+        namespaces excluded) — driver-local columnar read of the
+        term-stats table, the FST stand-in."""
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(self._term_stats_path,
+                         format="parquet").to_table(
+            columns=["term", "df"])
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        dfv = np.asarray(tbl["df"].to_numpy(), dtype=np.int64)
+        plain = np.array([(":" not in t) for t in terms], dtype=bool)
+        return terms[plain], dfv[plain]
+
+    def _cap_expansion(self, terms, dfs, cap: int | None) -> list[str]:
+        cap = cap or self.max_fuzzy_expansions
+        matched = sorted(zip(terms, dfs), key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in matched[:cap]]
+
+    def prefix_terms(self, prefix: str,
+                     cap: int | None = None) -> list[str]:
+        """Dictionary terms starting with `prefix`, (df desc, term asc)
+        capped — the wildcard-prefix expansion (`word*`)."""
+        terms, dfv = self._vocab()
+        m = np.array([t.startswith(prefix) for t in terms], dtype=bool)
+        return self._cap_expansion(terms[m].tolist(),
+                                   dfv[m].tolist(), cap)
+
+    def regex_terms(self, pattern: str,
+                    cap: int | None = None) -> list[str]:
+        """Dictionary terms fully matching `pattern` (tantivy
+        RegexQuery analog — there a regex automaton walks the FST;
+        here a dictionary scan; patterns should stay RE2-compatible
+        for oracle parity with DuckDB's regexp_full_match)."""
+        import re
+
+        rx = re.compile(pattern)
+        terms, dfv = self._vocab()
+        m = np.array([rx.fullmatch(t) is not None for t in terms],
+                     dtype=bool)
+        return self._cap_expansion(terms[m].tolist(),
+                                   dfv[m].tolist(), cap)
 
     def fuzzy_terms(self, token: str, d: int,
                     cap: int | None = None) -> list[str]:
@@ -349,18 +399,9 @@ class IndexReader:
         Scale note: at extreme vocabularies a deletion-neighborhood
         sidecar (SymSpell) or a real FST would replace the linear band
         scan; the query plan downstream is unchanged either way."""
-        import pyarrow.dataset as ds
-
-        cap = cap or self.max_fuzzy_expansions
-        tbl = ds.dataset(self._term_stats_path,
-                         format="parquet").to_table(
-            columns=["term", "df"])
-        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-        dfv = np.asarray(tbl["df"].to_numpy(), dtype=np.int64)
-        # exclude shadow/attribute namespaces (b:, s:, f:, lang:, ...)
-        plain = np.array([(":" not in t) for t in terms], dtype=bool)
+        terms, dfv = self._vocab()
         lens = np.array([len(t) for t in terms], dtype=np.int64)
-        band = plain & (np.abs(lens - len(token)) <= d)
+        band = np.abs(lens - len(token)) <= d
         cand = terms[band]
         cdf = dfv[band]
         if cand.size == 0:
@@ -386,9 +427,8 @@ class IndexReader:
             prev = cur
         ed = prev[np.arange(cand.size), clens]
         ok = ed <= d
-        matched = sorted(zip(cand[ok].tolist(), cdf[ok].tolist()),
-                         key=lambda x: (-x[1], x[0]))
-        return [t for t, _ in matched[:cap]]
+        return self._cap_expansion(cand[ok].tolist(),
+                                   cdf[ok].tolist(), cap)
 
     @staticmethod
     def _prune_dead_alts(compounds: dict, dfs: dict[str, int]) -> dict:

@@ -15,6 +15,15 @@ query/plan/mod.rs:235-300) for a single-text-field index:
 - "quoted phrase" -> Must phrase: tokens must appear adjacent (slop 0).
                      Smart quotes accepted. (parser/mod.rs: phrase incl.
                      smart quotes “”)
+- word*           -> prefix term: expands to dictionary terms starting
+                     with `word` (the Lucene wildcard-prefix analog /
+                     tantivy phrase-prefix building block), same
+                     or-group plan shape as fuzzy.
+- /pattern/       -> regex term: expands to dictionary terms fully
+                     matching the pattern (tantivy RegexQuery analog,
+                     crates/tantivy/src/query/regex_query.rs — there a
+                     regex automaton over the FST; here a dictionary
+                     scan feeding the or-group).
 - word~N          -> fuzzy term: expands to dictionary terms within
                      Levenshtein distance N (1..2) via the term-stats
                      table (the tantivy FuzzyTermQuery analog,
@@ -62,6 +71,8 @@ class Clause:
     tokens: tuple[str, ...]   # normalized tokens
     slop: int = 0             # phrase clauses only: positional budget
     fuzzy: int = 0            # term clauses only: Levenshtein distance
+    prefix: bool = False      # term clauses only: dictionary prefix
+    regex: bool = False       # term clauses only: tokens[0] is a regex
 
 
 @dataclass
@@ -169,6 +180,19 @@ def parse_query(q: str) -> ParsedQuery:
                     clauses.append(Clause("not", toks))
         elif (filt := _as_filter(raw)) is not None:
             clauses.append(Clause("filter", (filt,)))
+        elif raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+            import re as _re
+
+            pat = raw[1:-1].lower()
+            try:
+                _re.compile(pat)
+            except _re.error as e:
+                raise ValueError(f"bad regex term {raw!r}: {e}") from e
+            clauses.append(Clause("term", (pat,), regex=True))
+        elif (raw.endswith("*") and len(raw) > 1
+              and len(tokenize(raw[:-1])) == 1):
+            clauses.append(Clause("term", tuple(tokenize(raw[:-1])),
+                                  prefix=True))
         else:
             # bareword `word~N` -> fuzzy term (Levenshtein distance N,
             # the tantivy FuzzyTermQuery / Lucene `term~N` analog);
@@ -188,7 +212,7 @@ def parse_query(q: str) -> ParsedQuery:
     seen: set[tuple] = set()
     dedup: list[Clause] = []
     for c in clauses:
-        key = (c.kind, c.tokens, c.slop, c.fuzzy)
+        key = (c.kind, c.tokens, c.slop, c.fuzzy, c.prefix, c.regex)
         if key not in seen:
             seen.add(key)
             dedup.append(c)

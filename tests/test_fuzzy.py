@@ -76,3 +76,36 @@ def test_fuzzy_local_matches_distributed(reader):
     assert dl.tolist() == [r["doc_id"] for r in rows]
     np.testing.assert_allclose(sl, [r["score"] for r in rows],
                                rtol=1e-6)
+
+
+def test_parser_prefix_and_regex_forms():
+    pq = parse_query("merg* table")
+    assert pq.clauses[0].prefix and pq.clauses[0].tokens == ("merg",)
+    assert not pq.clauses[1].prefix
+    pq = parse_query("/s(can|ort)/ table")
+    assert pq.clauses[0].regex
+    assert pq.clauses[0].tokens == ("s(can|ort)",)
+    with pytest.raises(ValueError):
+        parse_query("/bad(/")
+    # a bare '*' or '/' is not an expansion form
+    pq = parse_query("a * b")
+    assert all(not c.prefix and not c.regex for c in pq.clauses)
+
+
+def test_prefix_and_regex_expansion(reader):
+    pre = reader.prefix_terms("th")
+    assert pre and all(t.startswith("th") for t in pre)
+    rx = reader.regex_terms("th(e|is)")
+    assert set(rx) <= {"the", "this"} and rx
+    # prefix search: superset of the exact-term result
+    d_exact, _ = reader.search_collect("test", k=reader.num_docs)
+    d_pre, _ = reader.search_collect("tes*", k=reader.num_docs)
+    assert set(d_exact.tolist()) <= set(d_pre.tolist())
+
+
+def test_prefix_local_matches_distributed(reader):
+    dl, sl = reader.search_local("tes* the", k=25)
+    rows = reader.search("tes* the", k=25).collect()
+    assert dl.tolist() == [r["doc_id"] for r in rows]
+    np.testing.assert_allclose(sl, [r["score"] for r in rows],
+                               rtol=1e-6)
