@@ -591,75 +591,72 @@ class IndexReader:
                     .filter(F.col("term").isin(terms))
                     .select(*cols))
 
-        def eval_segment(pdf, seg: int):
-            import pandas as pd
-
-            by_term = {t: _build_term_postings(g)
-                       for t, g in pdf.groupby("term")}
+        def eval_by_term(by_term: dict, seg: int):
             specs, negs = _make_specs(pq, weights, by_term, dtype,
                                       compounds=compounds)
             if occur == "should":
                 term_specs = [(tp, w) for kind, tp, w in specs]
-                docs, scores = union_topk(term_specs, seg_k, dtype=dtype,
-                                          mustnot_groups=negs)
-            else:
-                sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
-                          if spq is not None else None)
-                empty_tp = TermPostings([], [], [], [], [], [])
-                dl_fn = (_doclen_lookup(idx_path, seg)
-                         if rules_doclen else None)
-                negs = negs + [_matcher_spec(m, by_term, empty_tp, dl_fn)
-                               for m in discard_matchers]
-                bspecs = [(f, _matcher_spec(m, by_term, empty_tp, dl_fn))
-                          for f, m in boost_rules] or None
-                req = ([_matcher_spec(m, by_term, empty_tp, dl_fn)
-                        for m in require_matchers]
-                       if require_matchers is not None else None)
-                docs, scores = segment_topk(
-                    specs, negs, seg_k, dtype=dtype,
-                    max_docs=max_docs_per_segment,
-                    should_specs=sspecs, boost_specs=bspecs,
-                    require_any=req)
-            return pd.DataFrame({
-                "doc_id": docs.astype("int64"),
-                "score": scores.astype("float64"),
-                "segment_id": np.full(docs.size, seg, dtype="int64"),
-            })
+                return union_topk(term_specs, seg_k, dtype=dtype,
+                                  mustnot_groups=negs)
+            sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
+                      if spq is not None else None)
+            empty_tp = TermPostings([], [], [], [], [], [])
+            dl_fn = (_doclen_lookup(idx_path, seg)
+                     if rules_doclen else None)
+            negs = negs + [_matcher_spec(m, by_term, empty_tp, dl_fn)
+                           for m in discard_matchers]
+            bspecs = [(f, _matcher_spec(m, by_term, empty_tp, dl_fn))
+                      for f, m in boost_rules] or None
+            req = ([_matcher_spec(m, by_term, empty_tp, dl_fn)
+                    for m in require_matchers]
+                   if require_matchers is not None else None)
+            return segment_topk(
+                specs, negs, seg_k, dtype=dtype,
+                max_docs=max_docs_per_segment,
+                should_specs=sspecs, boost_specs=bspecs,
+                require_any=req)
+
+        def run_arrow(batches):
+            # arrow-native per-partition evaluation: ONE arrow table per
+            # partition, numpy index grouping, no per-group pandas
+            # machinery (at 640 segments the applyInPandas per-group
+            # overhead alone cost ~1.5 s per query)
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            docs_out, scores_out, segs_out = [], [], []
+            for seg, by_term in _group_arrow_postings(tbl):
+                docs, scores = eval_by_term(by_term, seg)
+                if docs.size:
+                    docs_out.append(docs.astype(np.int64))
+                    scores_out.append(scores.astype(np.float64))
+                    segs_out.append(np.full(docs.size, seg,
+                                            dtype=np.int64))
+            if not docs_out:
+                return
+            yield pa.record_batch(
+                [pa.array(np.concatenate(docs_out)),
+                 pa.array(np.concatenate(scores_out)),
+                 pa.array(np.concatenate(segs_out))],
+                names=["doc_id", "score", "segment_id"])
 
         out_schema = "doc_id long, score double, segment_id long"
 
         # small queries (few posting blocks): one task evaluating all
         # segments beats a per-segment shuffle fanout — the coordinator-
-        # handles-small-queries path. Large queries keep the per-segment
-        # groupBy fanout that scales with the cluster.
+        # handles-small-queries path. Large queries fan out hash-
+        # partitioned on segment_id (scales with the cluster); both use
+        # repartition (NOT coalesce: coalesce would collapse the
+        # parallel scan itself into one task).
         est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
         if est_blocks <= self.small_query_blocks:
-            def run_all(batches):
-                import pandas as pd
-
-                parts = [p for p in batches if len(p)]
-                if not parts:
-                    return
-                allp = pd.concat(parts, ignore_index=True)
-                for seg, grp in allp.groupby("segment_id"):
-                    yield eval_segment(grp, int(seg))
-
-            # repartition (NOT coalesce: coalesce would collapse the
-            # parallel scan itself into one task) — the filtered posting
-            # rows are small, the shuffle is cheap
-            local = postings.repartition(1).mapInPandas(run_all,
-                                                        schema=out_schema)
+            shaped = postings.repartition(1)
         else:
-            def run_segment(pdf):
-                import pandas as pd
-
-                if len(pdf) == 0:
-                    return pd.DataFrame({"doc_id": [], "score": [],
-                                         "segment_id": []})
-                return eval_segment(pdf, int(pdf["segment_id"].iloc[0]))
-
-            local = postings.groupBy("segment_id").applyInPandas(
-                run_segment, schema=out_schema)
+            shaped = postings.repartition(F.col("segment_id"))
+        local = shaped.mapInArrow(run_arrow, schema=out_schema)
         top = local.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -1067,15 +1064,19 @@ class IndexReader:
                     .select(*cols))
         seg_k = {name: k + offsets[name] for name in live}
 
-        def run_segment(pdf):
-            import pandas as pd
+        def run_arrow(batches):
+            # arrow-native per-partition evaluation (see search()):
+            # one table per partition, numpy grouping, the whole query
+            # set per segment group
+            import pyarrow as pa
 
-            out = []
-            if len(pdf):
-                seg = int(pdf["segment_id"].iloc[0])
-                by_term = {t: _build_term_postings(g)
-                           for t, g in pdf.groupby("term")}
-                empty_tp = TermPostings([], [], [], [], [], [])
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            names_out, docs_out, scores_out = [], [], []
+            empty_tp = TermPostings([], [], [], [], [], [])
+            for seg, by_term in _group_arrow_postings(tbl):
                 dl_fn = (_doclen_lookup(idx_path, seg)
                          if rules_doclen else None)
                 for name, pq in live.items():
@@ -1099,24 +1100,26 @@ class IndexReader:
                                               dl_fn)
                                 for m in req_matchers]
                                if req_matchers is not None else None)
-                    docs, scores = segment_topk(specs, negs, seg_k[name],
+                    docs, scores = segment_topk(specs, negs,
+                                                seg_k[name],
                                                 dtype=dtype,
                                                 should_specs=sspecs,
                                                 boost_specs=bspecs,
                                                 require_any=req)
                     if docs.size:
-                        out.append(pd.DataFrame({
-                            "query": name,
-                            "doc_id": docs.astype("int64"),
-                            "score": scores.astype("float64")}))
-            if not out:
-                return pd.DataFrame({"query": pd.Series(dtype=str),
-                                     "doc_id": pd.Series(dtype="int64"),
-                                     "score": pd.Series(dtype="float64")})
-            return pd.concat(out, ignore_index=True)
+                        names_out.extend([name] * docs.size)
+                        docs_out.append(docs.astype(np.int64))
+                        scores_out.append(scores.astype(np.float64))
+            if not docs_out:
+                return
+            yield pa.record_batch(
+                [pa.array(names_out, type=pa.string()),
+                 pa.array(np.concatenate(docs_out)),
+                 pa.array(np.concatenate(scores_out))],
+                names=["query", "doc_id", "score"])
 
-        local = postings.groupBy("segment_id").applyInPandas(
-            run_segment, schema="query string, doc_id long, score double")
+        local = postings.repartition(F.col("segment_id")).mapInArrow(
+            run_arrow, schema="query string, doc_id long, score double")
         w = (Window.partitionBy("query")
              .orderBy(F.desc("score"), F.asc("doc_id")))
         ranked = local.withColumn("rk", F.row_number().over(w))
