@@ -286,11 +286,11 @@ def _build_segment_rows_inner(
         # Snowball-stemmed shadow fields selected by detected language
         # with English fallback, schema/text_field.rs:294-326); stems
         # computed once per unique (token, lang), then gathered
-        from ..stemmer import porter_stem, stem_for_lang
+        from ..stemmer import english_stem, stem_for_lang
 
         if stem_langs is None:
             uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-            stems = np.asarray(["s:" + porter_stem(u) for u in uniq],
+            stems = np.asarray(["s:" + english_stem(u) for u in uniq],
                                dtype=object)
             s_flat = stems[inv]
         else:

@@ -209,6 +209,11 @@ dfs_all AS (
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
         if (fcond := _expansion_cond(c)) is not None:
+            if alts:
+                raise NotImplementedError(
+                    "oracle SQL does not model an expansion clause "
+                    "combined with ngram/stem alternatives — gate "
+                    "expansion queries on a plain index")
             # expansion or-group (fuzzy/prefix/regex): members =
             # dictionary terms matching the condition, (df desc, term
             # asc) capped at 50 — mirrors the IndexReader expansion;

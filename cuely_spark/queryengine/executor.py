@@ -284,7 +284,7 @@ class IndexReader:
                            lang: str | None = None):
         """(compounds, c_terms): clause-index -> alternative shadow terms
         (bigram/trigram compounds per plan/mod.rs sliding windows, plus
-        the "s:"+porter_stem shadow when the index is stemmed).
+        the "s:"+english_stem (Porter2) shadow when the index is stemmed).
 
         Augmentation applies to Must conjunctions only; explicitly
         requesting it with occur='should' is an error rather than a
@@ -302,7 +302,7 @@ class IndexReader:
         use_stem = (stemmed if stemmed is not None
                     else bool(self.stats.get("stemmed")))
         if use_stem and occur != "should":
-            from ..stemmer import detect_lang, porter_stem, stem_for_lang
+            from ..stemmer import detect_lang, english_stem, stem_for_lang
 
             if self.stats.get("stem_lang_col"):
                 # language-routed index: stem the query with the query's
@@ -313,7 +313,7 @@ class IndexReader:
                     [t for c in pq.clauses for t in c.tokens])
                 stem_q = lambda t: stem_for_lang(t, qlang)  # noqa: E731
             else:
-                stem_q = porter_stem
+                stem_q = english_stem
             for i, c in enumerate(pq.clauses):
                 if c.kind == "term":
                     compounds.setdefault(i, []).append(

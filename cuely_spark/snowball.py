@@ -591,3 +591,188 @@ def french_snowball(word: str) -> str:
         word = word[:i] + "e" + word[i + 1:]
 
     return word.lower()
+
+
+# ---------------------------------------------------------------------------
+# English "Porter2" (snowballstem.org/algorithms/english/stemmer.html)
+# — the algorithm rust-stemmers runs for Algorithm::English, i.e. what
+# the reference's English stemmed fields actually use.
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = "cdeghkmnrt"
+
+_EN_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC_1A = frozenset(("inning", "outing", "canning", "herring",
+                        "earring", "proceed", "exceed", "succeed"))
+
+_EN_STEP2 = [
+    ("ization", "ize"), ("ational", "ate"), ("ousness", "ous"),
+    ("iveness", "ive"), ("fulness", "ful"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+    ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+    ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", None), ("li", None),
+]
+_EN_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", None),
+    ("ical", "ic"), ("ness", ""), ("ful", ""),
+]
+_EN_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+             "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+             "al", "er", "ic")
+
+
+def _en_is_vowel(chars: str, i: int) -> bool:
+    return chars[i] in _EN_VOWELS  # Y (marked) is a consonant
+
+
+def _en_short_syllable_at(w: str, i: int) -> bool:
+    """Short syllable ending at index i (the vowel is at i):
+    (a) vowel + non-vowel (not w/x/Y) preceded by a non-vowel, or
+    (b) vowel at position 0 followed by a non-vowel."""
+    if i < 0 or i + 1 >= len(w):
+        return False
+    if not _en_is_vowel(w, i) or _en_is_vowel(w, i + 1):
+        return False
+    if i == 0:
+        return True
+    return (w[i + 1] not in "wxY") and not _en_is_vowel(w, i - 1)
+
+
+def _en_is_short(w: str, r1: int) -> bool:
+    """Word is short: ends in a short syllable AND R1 is null."""
+    return r1 >= len(w) and _en_short_syllable_at(w, len(w) - 2)
+
+
+def english_snowball(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    word = word.lstrip("'")
+    if word in _EN_EXCEPTIONS:
+        return _EN_EXCEPTIONS[word]
+    if len(word) <= 2:
+        return word
+    # mark consonant y as Y: initial y, or y after a vowel
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    # R1 with the gener/commun/arsen prefix exception
+    if word.startswith(("gener", "arsen")):
+        r1 = 5
+    elif word.startswith("commun"):
+        r1 = 6
+    else:
+        r1 = _r_after_first_nonvowel_after_vowel(word, _EN_VOWELS)
+    r2 = _r_after_first_nonvowel_after_vowel(word, _EN_VOWELS, r1)
+
+    # step 0: apostrophe suffixes
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) > 4 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        # delete if a vowel exists before the position just ahead of s
+        if any(word[i] in _EN_VOWELS for i in range(len(word) - 2)):
+            word = word[:-1]
+
+    if word in _EN_EXC_1A:
+        return word.replace("Y", "y")
+
+    # step 1b
+    did_1b = False
+    if word.endswith(("eedly", "eed")):
+        suf = "eedly" if word.endswith("eedly") else "eed"
+        if len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem = word[: -len(suf)]
+                if any(c in _EN_VOWELS for c in stem):
+                    word = stem
+                    did_1b = True
+                break
+    if did_1b:
+        if word.endswith(("at", "bl", "iz")):
+            word += "e"
+        elif word.endswith(_EN_DOUBLES):
+            word = word[:-1]
+        elif _en_is_short(word, r1):
+            word += "e"
+
+    # step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if (len(word) > 2 and word[-1] in "yY"
+            and word[-2] not in _EN_VOWELS):
+        word = word[:-1] + "i"
+
+    # step 2 (in R1), longest match
+    for suf, repl in _EN_STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ogi":
+                    if word[: -3].endswith("l"):
+                        word = word[:-1]
+                elif suf == "li":
+                    if word[:-2] and word[-3] in _EN_LI_END:
+                        word = word[:-2]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    # step 3 (in R1), longest match
+    for suf, repl in _EN_STEP3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(word) - 5 >= r2:
+                        word = word[:-5]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    # step 4 (in R2), longest match
+    for suf in sorted(_EN_STEP4, key=len, reverse=True):
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                if suf == "ion":
+                    if word[:-3] and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # step 5
+    if word.endswith("e"):
+        stem = word[:-1]
+        if (len(word) - 1 >= r2
+                or (len(word) - 1 >= r1
+                    and not _en_short_syllable_at(stem, len(stem) - 2))):
+            word = stem
+    elif word.endswith("l") and len(word) - 1 >= r2 \
+            and word[:-1].endswith("l"):
+        word = word[:-1]
+
+    return word.replace("Y", "y")

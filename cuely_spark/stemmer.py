@@ -202,8 +202,21 @@ def spanish_stem(word: str) -> str:
     return spanish_snowball(word)
 
 
+def english_stem(word: str) -> str:
+    """Snowball English ("Porter2", snowball.english_snowball) — what
+    rust-stemmers runs for Algorithm::English, i.e. exact parity with
+    the reference's English stemmed fields. The classic-Porter
+    `porter_stem` above remains exported (its 1980-paper vectors are
+    pinned by tests) but is no longer the routed default."""
+    if len(word) <= 2 or not word.isalpha():
+        return word
+    from .snowball import english_snowball
+
+    return english_snowball(word)
+
+
 STEMMERS = {
-    "en": porter_stem,
+    "en": english_stem,
     "de": german_stem,
     "fr": french_stem,
     "es": spanish_stem,
@@ -235,4 +248,4 @@ def detect_lang(tokens, default: str = "en") -> str:
 def stem_for_lang(word: str, lang: str | None) -> str:
     """Stem with the language's stemmer; unknown/None -> English
     (reference fallback: text_field.rs:294-326)."""
-    return STEMMERS.get(lang or "en", porter_stem)(word)
+    return STEMMERS.get(lang or "en", english_stem)(word)

@@ -128,3 +128,44 @@ def test_routed_wrappers_use_snowball():
     assert stem_for_lang("häuser", "de") == "haus"
     # English fallback for unknown language
     assert stem_for_lang("running", "xx") == "run"
+
+
+ENGLISH = {
+    # exceptional forms
+    "skis": "ski", "skies": "sky", "dying": "die", "news": "news",
+    # step 1a ied/ies length rule
+    "ties": "tie", "cries": "cri",
+    # s-deletion vowel condition
+    "gas": "gas", "gaps": "gap", "kiwis": "kiwi",
+    # 1b with undoubling / e-restoration / short-word e
+    "hopping": "hop", "hoping": "hope", "running": "run",
+    "agreed": "agre",
+    # 1c + step 2
+    "happy": "happi", "consolingly": "consol",
+    "luxuriously": "luxuri", "generously": "generous",
+    # gener/commun/arsen R1 exception
+    "generate": "generat", "generically": "generic",
+    "communism": "communism",
+    # step 3/4 chains (Porter2 differs from classic Porter here)
+    "relational": "relat", "conditional": "condit",
+    "rational": "ration",
+    # 1a exceptions stop immediately
+    "inning": "inning", "proceed": "proceed",
+}
+
+
+def test_english_porter2_vectors():
+    from cuely_spark.snowball import english_snowball
+
+    _check(ENGLISH, english_snowball)
+
+
+def test_english_routing_is_porter2():
+    from cuely_spark.stemmer import english_stem, stem_for_lang
+
+    # Porter2 diverges from classic Porter on these; the routed
+    # default must be Porter2 (what rust-stemmers runs)
+    assert english_stem("dying") == "die"       # Porter: dy
+    assert english_stem("skies") == "sky"       # Porter: ski
+    assert stem_for_lang("dying", None) == "die"
+    assert stem_for_lang("dying", "en") == "die"
