@@ -503,7 +503,12 @@ def french_snowball(word: str) -> str:
                 word = word[:pos]
         changed1 = word != before
 
-    did_23 = changed1
+    # step-3-vs-4 control mirrors french.sbl: the ment/amment/emment
+    # actions end with `fail`, so a step-1 ment-change alone does NOT
+    # select step 3 — only a non-ment step-1 change or a step-2a/2b
+    # change does (the or-chain `standard_suffix or i_verb_suffix or
+    # verb_suffix` succeeding).
+    did_23 = changed1 and not found_ment
     if not changed1 or found_ment:
         # ---- step 2a: i-verb suffixes, preceded by a non-vowel in RV
         removed_2a = False
