@@ -303,10 +303,11 @@ JVM JIT + python-worker spawn), best of {reps} reps per config
 
 1. **Oversubscription, measured (not inferred)**: removing it at width
    32 (spark.task.cpus=2 -> 16 concurrent tasks, 32 runnable threads)
-   recovers {thr32t2} turns/sec vs {thr32} at task.cpus=1 — a modest
-   gain — while plain local[16] reaches {thr16}. So scheduler-level
-   oversubscription is a minor component; the dominant one is the box
-   itself saturating beyond ~16 active cores.
+   recovers {thr32t2} turns/sec vs {thr32} at task.cpus=1, against
+   plain local[16]'s {thr16}. Whichever of the two effects dominates
+   in a given session (thread contention vs the box saturating beyond
+   ~16 active cores), the engine pipeline itself is not the limiter:
+   per-phase work is 64 independent partitions at every width.
 2. **Hardware ceiling (the Spark-free measurement of the same
    saturation)**: identical pure-Python per-process work at 8 vs 32
    processes (no Spark, no I/O — `scripts/cpu_ceiling.py`) gives
