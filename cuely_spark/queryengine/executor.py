@@ -12,10 +12,12 @@ Query lifecycle (Spark mapping of the reference's LocalSearcher::search,
    pushes the filter to Parquet (row-group pruning on the sorted term
    column), and only the needed columns are read (positions column is
    skipped unless the query has a phrase).
-4. per-segment kernel: groupBy(segment_id).applyInPandas running the
-   numpy kernel (:mod:`.kernel`) — segment-local top-k, block-max
-   pruning, leapfrog AND, phrase verification. The shuffle moves only
-   the query's posting rows (KBs), never the corpus.
+4. per-segment kernel: repartition(segment_id) + mapInArrow running
+   the numpy kernel (:mod:`.kernel`) over arrow tables with numpy
+   index grouping — segment-local top-k, block-max pruning, leapfrog
+   AND, phrase verification; no per-group pandas machinery (its
+   constant overhead multiplies with segment count). The shuffle moves
+   only the query's posting rows (KBs), never the corpus.
 5. global merge: orderBy(score desc, doc_id asc).limit(k) over the tiny
    union of per-segment top-ks (reference: collector/top_docs.rs merge).
 """
@@ -700,28 +702,36 @@ class IndexReader:
                     .filter(F.col("term").isin(terms))
                     .select(*_POSTING_COLS))
 
-        def run_segment(pdf):
-            import pandas as pd
+        def run_arrow(batches):
+            import pyarrow as pa
 
             from .kernel import compute_signals
 
-            if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "bm25": [],
-                                     "coverage": [], "idf_sum": []})
-            by_term = {t: _build_term_postings(g)
-                       for t, g in pdf.groupby("term")}
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
             empty_tp = TermPostings([], [], [], [], [], [])
-            specs = [(by_term.get(t, empty_tp), weights[t])
-                     for t in terms]
-            docs, bm25, cov, idf = compute_signals(specs, dtype=dtype)
-            return pd.DataFrame({
-                "doc_id": docs.astype("int64"),
-                "bm25": bm25.astype("float64"),
-                "coverage": cov.astype("float64"),
-                "idf_sum": idf.astype("float64")})
+            out = {"doc_id": [], "bm25": [], "coverage": [],
+                   "idf_sum": []}
+            for _seg, by_term in _group_arrow_postings(tbl):
+                specs = [(by_term.get(t, empty_tp), weights[t])
+                         for t in terms]
+                docs, bm25, cov, idf = compute_signals(specs,
+                                                       dtype=dtype)
+                out["doc_id"].append(docs.astype(np.int64))
+                out["bm25"].append(bm25.astype(np.float64))
+                out["coverage"].append(cov.astype(np.float64))
+                out["idf_sum"].append(idf.astype(np.float64))
+            if not out["doc_id"]:
+                return
+            yield pa.record_batch(
+                [pa.array(np.concatenate(out[c]))
+                 for c in ("doc_id", "bm25", "coverage", "idf_sum")],
+                names=["doc_id", "bm25", "coverage", "idf_sum"])
 
-        return postings.groupBy("segment_id").applyInPandas(
-            run_segment,
+        return postings.repartition(F.col("segment_id")).mapInArrow(
+            run_arrow,
             schema="doc_id long, bm25 double, coverage double, "
                    "idf_sum double")
 
@@ -818,12 +828,8 @@ class IndexReader:
         seg_k = k + offset
         clauses = list(pq.clauses)
 
-        def eval_segment(pdf, seg: int):
-            import pandas as pd
-
+        def eval_by_term(by_term: dict):
             empty_tp = TermPostings([], [], [], [], [], [])
-            by_term = {t: _build_term_postings(g)
-                       for t, g in pdf.groupby("term")}
             specs = []
             for c in clauses:
                 if c.kind == "not":
@@ -838,39 +844,38 @@ class IndexReader:
                     specs.append(("or", members, None))
             negs = [[by_term.get(t, empty_tp) for t in g]
                     for g in neg_key_groups]
-            docs, scores = segment_topk(specs, negs, seg_k, dtype=dtype)
-            return pd.DataFrame({
-                "doc_id": docs.astype("int64"),
-                "score": scores.astype("float64"),
-                "segment_id": np.full(docs.size, seg, dtype="int64"),
-            })
+            return segment_topk(specs, negs, seg_k, dtype=dtype)
+
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            docs_out, scores_out, segs_out = [], [], []
+            for seg, by_term in _group_arrow_postings(tbl):
+                docs, scores = eval_by_term(by_term)
+                if docs.size:
+                    docs_out.append(docs.astype(np.int64))
+                    scores_out.append(scores.astype(np.float64))
+                    segs_out.append(np.full(docs.size, seg,
+                                            dtype=np.int64))
+            if not docs_out:
+                return
+            yield pa.record_batch(
+                [pa.array(np.concatenate(docs_out)),
+                 pa.array(np.concatenate(scores_out)),
+                 pa.array(np.concatenate(segs_out))],
+                names=["doc_id", "score", "segment_id"])
 
         out_schema = "doc_id long, score double, segment_id long"
         est_blocks = sum(-(-dfs.get(t, 0) // 128) + 1 for t in scan_terms)
         if est_blocks <= self.small_query_blocks:
-            def run_all(batches):
-                import pandas as pd
-
-                parts = [p for p in batches if len(p)]
-                if not parts:
-                    return
-                allp = pd.concat(parts, ignore_index=True)
-                for seg, grp in allp.groupby("segment_id"):
-                    yield eval_segment(grp, int(seg))
-
-            local = postings.repartition(1).mapInPandas(
-                run_all, schema=out_schema)
+            shaped = postings.repartition(1)
         else:
-            def run_segment(pdf):
-                import pandas as pd
-
-                if len(pdf) == 0:
-                    return pd.DataFrame({"doc_id": [], "score": [],
-                                         "segment_id": []})
-                return eval_segment(pdf, int(pdf["segment_id"].iloc[0]))
-
-            local = postings.groupBy("segment_id").applyInPandas(
-                run_segment, schema=out_schema)
+            shaped = postings.repartition(F.col("segment_id"))
+        local = shaped.mapInArrow(run_arrow, schema=out_schema)
         top = local.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -1301,19 +1306,23 @@ class IndexReader:
                         list(dict.fromkeys(pq.all_terms() + c_terms))))
                     .select(*cols))
 
-        def run_segment(pdf):
-            import pandas as pd
+        def run_arrow(batches):
+            import pyarrow as pa
 
-            if len(pdf) == 0:
-                return pd.DataFrame({"n": []})
-            by_term = {t: _build_term_postings(g)
-                       for t, g in pdf.groupby("term")}
-            specs, negs = _make_specs(pq, weights, by_term, dtype,
-                                      compounds=compounds)
-            return pd.DataFrame({"n": [count_matches(specs, negs)]})
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            total = 0
+            for _seg, by_term in _group_arrow_postings(tbl):
+                specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                          compounds=compounds)
+                total += count_matches(specs, negs)
+            yield pa.record_batch([pa.array([total], type=pa.int64())],
+                                  names=["n"])
 
-        rows = (postings.groupBy("segment_id")
-                .applyInPandas(run_segment, schema="n long")
+        rows = (postings.repartition(F.col("segment_id"))
+                .mapInArrow(run_arrow, schema="n long")
                 .agg(F.sum("n").alias("n")).collect())
         return int(rows[0]["n"] or 0)
 
@@ -1413,31 +1422,39 @@ class IndexReader:
         cap = max_docs_per_segment
         k_terms = len(pos_terms)
 
-        def run_segment(pdf):
-            import pandas as pd
+        def run_arrow(batches):
+            import pyarrow as pa
 
-            if len(pdf) == 0:
-                return pd.DataFrame({"n": [], "capped": []})
-            seg = int(pdf["segment_id"].iloc[0])
-            by_term = {t: _build_term_postings(g)
-                       for t, g in pdf.groupby("term")}
-            specs, negs = _make_specs(pq, weights, by_term, dtype)
-            n = count_matches(specs, negs, max_docs=cap)
-            if n < cap:
-                return pd.DataFrame({"n": [n], "capped": [False]})
-            # exact integer estimate prod(df_i) // nd^(k-1); dfs <= nd
-            # so the estimate fits a long even though the product won't
-            prod = 1
-            for t in pos_terms:
-                tp = by_term.get(t)
-                prod *= int(tp.doc_count) if tp is not None else 0
-            nd = seg_docs.get(seg, 0)
-            est = (prod // (nd ** (k_terms - 1))
-                   if nd and k_terms > 1 else prod)
-            return pd.DataFrame({"n": [max(cap, est)], "capped": [True]})
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            total, any_capped = 0, False
+            for seg, by_term in _group_arrow_postings(tbl):
+                specs, negs = _make_specs(pq, weights, by_term, dtype)
+                n = count_matches(specs, negs, max_docs=cap)
+                if n < cap:
+                    total += n
+                    continue
+                # exact integer estimate prod(df_i) // nd^(k-1);
+                # dfs <= nd so the estimate fits a long even though the
+                # product won't
+                prod = 1
+                for t in pos_terms:
+                    tp = by_term.get(t)
+                    prod *= int(tp.doc_count) if tp is not None else 0
+                nd = seg_docs.get(seg, 0)
+                est = (prod // (nd ** (k_terms - 1))
+                       if nd and k_terms > 1 else prod)
+                total += max(cap, est)
+                any_capped = True
+            yield pa.record_batch(
+                [pa.array([total], type=pa.int64()),
+                 pa.array([any_capped], type=pa.bool_())],
+                names=["n", "capped"])
 
-        row = (postings.groupBy("segment_id")
-               .applyInPandas(run_segment, schema="n long, capped boolean")
+        row = (postings.repartition(F.col("segment_id"))
+               .mapInArrow(run_arrow, schema="n long, capped boolean")
                .agg(F.sum("n").alias("n"),
                     F.max("capped").alias("any_capped"))
                .collect())[0]
