@@ -41,6 +41,9 @@ FT_QUERIES = {
     # spark stream; the regex matches scan|sort)
     "ft_prefix": ("s* table", None),
     "ft_regex": ("/s(can|ort)/ table", None),
+    # phrase-prefix: fixed words exact, last position matched by any
+    # dictionary term with the prefix (tantivy PhrasePrefixQuery)
+    "ft_phrase_prefix": ('"key s"*', None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),
@@ -667,7 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = ["ft_phrase_all", "ft_count_phrase", "ft_count_not",
             "ft_topk20", "ft_topk_offset", "ft_batch_queries",
             "dedup_ngram_jaccard", "dedup_minhash_sigs",
-            "dedup_simhash", "knn_topk"]
+            "dedup_simhash", "knn_topk", "ft_filter_lang_all"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}

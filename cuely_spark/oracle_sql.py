@@ -73,6 +73,33 @@ def _phrase_cte(name: str, tokens: tuple[str, ...], slop: int = 0) -> str:
             f"FROM {' '.join(joins)} GROUP BY w0.doc_id)")
 
 
+def _phrase_prefix_ctes(name: str, tokens: tuple[str, ...]) -> str:
+    """Phrase-prefix tf CTEs (tantivy PhrasePrefixQuery): exact
+    positional chain over the fixed words, the final position matched
+    by ANY dictionary term starting with tokens[-1] (df desc, term asc,
+    cap 50 — mirrors IndexReader.prefix_terms). Requires the dfs_all
+    vocabulary CTE."""
+    n = len(tokens)
+    fz = f"{name}_fz"
+    joins = [f"(SELECT doc_id, pos FROM tok WHERE term={_q(tokens[0])}) w0"]
+    for i, t in enumerate(tokens[1:-1], start=1):
+        joins.append(
+            f"JOIN (SELECT doc_id, pos FROM tok WHERE term={_q(t)}) w{i} "
+            f"ON w{i}.doc_id = w0.doc_id AND w{i}.pos = w0.pos + {i}")
+    joins.append(
+        f"JOIN (SELECT t.doc_id, t.pos FROM tok t JOIN {fz} z "
+        f"USING (term)) w{n - 1} "
+        f"ON w{n - 1}.doc_id = w0.doc_id "
+        f"AND w{n - 1}.pos = w0.pos + {n - 1}")
+    return (f"{fz} AS (\n"
+            f"  SELECT term, df FROM dfs_all "
+            f"WHERE starts_with(term, {_q(tokens[-1])})\n"
+            f"  ORDER BY df DESC, term LIMIT 50\n"
+            f"),\n"
+            f"{name} AS (SELECT w0.doc_id, count(*)::DOUBLE AS tf "
+            f"FROM {' '.join(joins)} GROUP BY w0.doc_id)")
+
+
 def _phrase_slop_ctes(name: str, tokens: tuple[str, ...],
                       slop: int) -> str:
     """Near-phrase tf CTEs mirroring the engine's budgeted-chain DP
@@ -191,7 +218,8 @@ dfs AS (
             return f"regexp_full_match(term, {_q(c.tokens[0])})"
         return None
 
-    if any(_expansion_cond(c) for c in pq.positive):
+    if any(_expansion_cond(c) for c in pq.positive) or any(
+            c.kind == "phrase" and c.prefix for c in pq.positive):
         # expansion clauses need the FULL vocabulary (the member set is
         # computed in SQL, not enumerated)
         ctes.append("""tf_all AS (
@@ -257,10 +285,15 @@ fs{ci} AS (
             pass  # unscored; condition added below
         else:
             name = f"ph{ci}"
-            ctes.append(_phrase_cte(name, c.tokens, c.slop))
+            if c.prefix:
+                ctes.append(_phrase_prefix_ctes(name, c.tokens))
+                # tantivy weights a phrase-prefix by the FIXED terms
+                idf_sum = " + ".join(_idf(t) for t in c.tokens[:-1])
+            else:
+                ctes.append(_phrase_cte(name, c.tokens, c.slop))
+                idf_sum = " + ".join(_idf(t) for t in c.tokens)
             a = f"p{ci}"
             joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
-            idf_sum = " + ".join(_idf(t) for t in c.tokens)
             score_terms.append(f"({idf_sum}) * {_tf_factor(f'{a}.tf')}")
     if spq is not None:
         for ci, c in enumerate(spq.positive):

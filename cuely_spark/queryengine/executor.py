@@ -80,11 +80,23 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
         elif c.kind == "filter":
             specs.append(("filter", by_term.get(c.tokens[0], empty_tp),
                           None))
+        elif c.prefix:
+            exp = (compounds or {}).get(pos_idx[j])
+            if exp is None:
+                raise ValueError(
+                    "phrase-prefix needs plan-time expansion "
+                    "(unsupported in should clauses)")
+            fixed = [by_term.get(t, empty_tp) for t in c.tokens[:-1]]
+            exps = [by_term.get(t, empty_tp) for t in exp]
+            specs.append(("pphrase", (fixed, exps),
+                          weights[("phrase", c.tokens, c.slop,
+                                   True)]))
         else:
             tps = PhraseTps([by_term.get(t, empty_tp) for t in c.tokens],
                             slop=c.slop)
             specs.append(("phrase", tps,
-                          weights[("phrase", c.tokens, c.slop)]))
+                          weights[("phrase", c.tokens, c.slop,
+                                   False)]))
     negs = [[by_term.get(t, empty_tp) for t in c.tokens]
             for c in pq.negative]
     return specs, negs
@@ -322,8 +334,16 @@ class IndexReader:
                         "s:" + stem_q(c.tokens[0]))
         # fuzzy (`word~N`) / prefix (`word*`) / regex (`/pat/`) terms
         # expand to their dictionary matches, riding the same
-        # (term OR alternatives) or-group plan shape
+        # (term OR alternatives) or-group plan shape; phrase-prefix
+        # (`"a b"*`) expansions for the LAST word also live in the
+        # compounds dict under the phrase clause's index
         for i, c in enumerate(pq.clauses):
+            if c.kind == "phrase" and c.prefix:
+                if occur == "should":
+                    raise ValueError(
+                        "phrase-prefix requires occur='must'")
+                compounds[i] = self.prefix_terms(c.tokens[-1])
+                continue
             if c.kind != "term" or not (c.fuzzy or c.prefix or c.regex):
                 continue
             if occur == "should":
@@ -459,6 +479,11 @@ class IndexReader:
                 if (dfs[c.tokens[0]] == 0
                         and all(dfs[a] == 0 for a in alts)):
                     return True
+            elif c.kind == "phrase" and c.prefix:
+                # fixed words must all exist; >=1 live expansion
+                if (any(dfs[t] == 0 for t in c.tokens[:-1])
+                        or not alts):
+                    return True
             elif any(dfs[t] == 0 for t in c.tokens):
                 return True
         return False
@@ -471,14 +496,18 @@ class IndexReader:
         for c in pq.positive:
             if c.kind == "phrase":
                 # phrase weight = sum of constituent idfs
-                # (crates/tantivy/src/query/bm25.rs:96-131)
+                # (crates/tantivy/src/query/bm25.rs:96-131); a
+                # phrase-prefix weights its FIXED terms only
+                # (phrase_prefix_query.rs:95-121 Bm25Weight::for_terms
+                # over phrase_terms, which excludes the prefix)
                 w = Bm25Weight(1, self.num_docs, self.avg_fieldnorm,
                                dtype=dtype)
                 s = dtype(0.0)
-                for t in c.tokens:
+                toks = c.tokens[:-1] if c.prefix else c.tokens
+                for t in toks:
                     s = dtype(s + weights[t].weight)
                 w.weight = s
-                weights[("phrase", c.tokens, c.slop)] = w
+                weights[("phrase", c.tokens, c.slop, c.prefix)] = w
         return weights
 
     # ------------------------------------------------------------------

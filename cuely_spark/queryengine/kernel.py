@@ -606,6 +606,12 @@ def segment_topk(
             if all(t.nblocks == 0 for t, _ in tp):
                 return empty
             continue
+        if kind == "pphrase":
+            fixed, exps = tp
+            if (any(t.nblocks == 0 for t in fixed)
+                    or all(e.nblocks == 0 for e in exps)):
+                return empty
+            continue
         tps = tp if isinstance(tp, list) else [tp]
         if any(t.nblocks == 0 for t in tps):
             return empty
@@ -623,6 +629,11 @@ def segment_topk(
     for kind, tp, _ in clause_specs:
         if kind == "or":
             units.append(("any", tp))
+        elif kind == "pphrase":
+            fixed, exps = tp
+            units.extend(("one", t) for t in fixed)
+            units.append(("any", [(e, None) for e in exps
+                                  if e.nblocks > 0]))
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
@@ -685,6 +696,22 @@ def segment_topk(
                 if found.any():
                     contrib[found] = mw.score(fnids[found], tfs[found])
                 total = (total + contrib).astype(d)
+        elif kind == "pphrase":
+            # phrase-prefix: tf = phrase occurrences ending in ANY
+            # expansion term (distinct terms can't share a position,
+            # so summing per-expansion counts is exact); weight from
+            # the fixed terms only (tantivy PhrasePrefixQuery)
+            fixed, exps = tp
+            tfs = np.zeros(cand.size, dtype=np.int64)
+            for e in exps:
+                if e.nblocks:
+                    tfs += phrase_tf(list(fixed) + [e], cand)
+            keep = tfs > 0
+            cand, total, tfs = cand[keep], total[keep], tfs[keep]
+            if cand.size == 0:
+                return empty
+            _, fnids, _ = fixed[0].lookup(cand)
+            total = (total + w.score(fnids, tfs)).astype(d)
         else:  # phrase
             tfs = phrase_tf(tp, cand, getattr(tp, "slop", 0))
             keep = tfs > 0
@@ -807,6 +834,12 @@ def count_matches(
             if all(t.nblocks == 0 for t, _ in tp):
                 return 0
             continue
+        if kind == "pphrase":
+            fixed, exps = tp
+            if (any(t.nblocks == 0 for t in fixed)
+                    or all(e.nblocks == 0 for e in exps)):
+                return 0
+            continue
         tps = tp if isinstance(tp, list) else [tp]
         if any(t.nblocks == 0 for t in tps):
             return 0
@@ -814,10 +847,16 @@ def count_matches(
     for kind, tp, _ in clause_specs:
         if kind == "or":
             units.append(("any", tp))
+        elif kind == "pphrase":
+            fixed, exps = tp
+            units.extend(("one", t) for t in fixed)
+            units.append(("any", [(e, None) for e in exps
+                                  if e.nblocks > 0]))
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
     phrases = [tp for kind, tp, _ in clause_specs if kind == "phrase"]
+    pphrases = [tp for kind, tp, _ in clause_specs if kind == "pphrase"]
 
     def _finish(cand: np.ndarray) -> np.ndarray:
         """Phrase-verify + MustNot-exclude one chunk of candidates
@@ -826,6 +865,13 @@ def count_matches(
             if cand.size:
                 cand = cand[phrase_tf(tp, cand,
                                       getattr(tp, "slop", 0)) > 0]
+        for fixed, exps in pphrases:
+            if cand.size:
+                tfs = np.zeros(cand.size, dtype=np.int64)
+                for e in exps:
+                    if e.nblocks:
+                        tfs += phrase_tf(list(fixed) + [e], cand)
+                cand = cand[tfs > 0]
         for group in mustnot_groups:
             if (not group or any(t.nblocks == 0 for t in group)
                     or cand.size == 0):

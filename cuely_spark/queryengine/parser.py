@@ -31,6 +31,13 @@ query/plan/mod.rs:235-300) for a single-text-field index:
                      there via an FST Levenshtein automaton; here a
                      driver-side dictionary expansion feeding the same
                      or-group plan shape as compound augmentation).
+- "a b"*          -> phrase-prefix: the fixed words must appear as an
+                     exact phrase, the position after them matched by
+                     ANY dictionary term starting with the last quoted
+                     word (tantivy PhrasePrefixQuery,
+                     crates/tantivy/src/query/phrase_prefix_query/ —
+                     DEFAULT_MAX_EXPANSIONS 50; BM25 weight from the
+                     fixed terms only, phrase_prefix_query.rs:95-121).
 - "a b"~N         -> near-phrase: total positional slop budget N
                      (tantivy slop phrases,
                      crates/tantivy/src/query/phrase_query/
@@ -129,7 +136,8 @@ def _raw_split(q: str) -> list[str]:
                 j += 1
             raw = '"' + q[i + 1:j] + '"'
             i = j + 1
-            # absorb a `~N` slop suffix glued to the closing quote
+            # absorb a `~N` slop or `*` prefix suffix glued to the
+            # closing quote
             if i < n and q[i] == "~":
                 m = i + 1
                 while m < n and q[m].isdigit():
@@ -137,6 +145,9 @@ def _raw_split(q: str) -> list[str]:
                 if m > i + 1:
                     raw += q[i:m]
                     i = m
+            elif i < n and q[i] == "*":
+                raw += "*"
+                i += 1
             out.append(raw)
         else:
             j = i
@@ -155,16 +166,22 @@ def parse_query(q: str) -> ParsedQuery:
     for raw in raws:
         raw = raw[:MAX_TERM_LEN]
         slop = 0
-        if raw.startswith('"') and "~" in raw and not raw.endswith('"'):
+        pprefix = False
+        if raw.startswith('"') and raw.endswith('"*') and len(raw) > 3:
+            raw, pprefix = raw[:-1], True
+        elif raw.startswith('"') and "~" in raw \
+                and not raw.endswith('"'):
             body, _, suffix = raw.rpartition("~")
             if body.endswith('"') and suffix.isdigit():
                 raw, slop = body, min(int(suffix), MAX_SLOP)
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             toks = tuple(tokenize(raw[1:-1])[:MAX_PHRASE_WORDS])
             if len(toks) == 1:
-                clauses.append(Clause("term", toks))
+                # single-word phrase-prefix collapses to a prefix term
+                clauses.append(Clause("term", toks, prefix=pprefix))
             elif toks:
-                clauses.append(Clause("phrase", toks, slop))
+                clauses.append(Clause("phrase", toks, slop,
+                                      prefix=pprefix))
         elif raw.startswith("--"):
             # escaped literal "-term": same one-clause-per-token shape as
             # the bareword branch ('term' clauses are single-token)

@@ -109,3 +109,12 @@ def test_prefix_local_matches_distributed(reader):
     assert dl.tolist() == [r["doc_id"] for r in rows]
     np.testing.assert_allclose(sl, [r["score"] for r in rows],
                                rtol=1e-6)
+
+
+def test_phrase_prefix_local_matches_distributed(reader):
+    dl, sl = reader.search_local('"the te"* website', k=25)
+    rows = reader.search('"the te"* website', k=25).collect()
+    assert dl.tolist() == [r["doc_id"] for r in rows]
+    np.testing.assert_allclose(sl, [r["score"] for r in rows],
+                               rtol=1e-6)
+    assert dl.size > 0
