@@ -207,9 +207,41 @@ def _regression_vs_prev(queries: dict[str, float]) -> dict:
     # the driver wraps bench stdout: the bench dict lives under "parsed"
     if "queries" not in prev and isinstance(prev.get("parsed"), dict):
         prev = prev["parsed"]
+    old_queries = prev.get("queries") or {}
+    if not old_queries and isinstance(prev.get("tail"), str):
+        # driver failed to parse stdout (parsed: null) but kept a
+        # truncated tail — recover per-query medians by name
+        import re
+
+        pat = re.compile(
+            r'"((?:q\d+_|ft_|knn_|dedup_|text_|pipeline_|batch_)'
+            r'[A-Za-z0-9_]*)":\s*([0-9.]+)')
+        # only the queries section — the tail also contains the prior
+        # round's own regression ratios, which are NOT latencies
+        head, _, rest = prev["tail"].partition('"regression_vs_prev"')
+        old_queries = {m.group(1): float(m.group(2))
+                       for m in pat.finditer(head)}
+        # names truncated out of the tail's queries section can be
+        # reconstructed as (round-before value) x (prior round's own
+        # ratio column) when a full earlier BENCH file exists
+        if rest and len(files) >= 2:
+            try:
+                with open(files[-2]) as f:
+                    pp = json.load(f)
+                if "queries" not in pp and isinstance(pp.get("parsed"),
+                                                     dict):
+                    pp = pp["parsed"]
+                ppq = pp.get("queries") or {}
+                ratios_prior = {m.group(1): float(m.group(2))
+                                for m in pat.finditer(rest)}
+                for name, rr in ratios_prior.items():
+                    if name not in old_queries and name in ppq:
+                        old_queries[name] = round(ppq[name] * rr, 4)
+            except (OSError, json.JSONDecodeError):
+                pass
     ratios = {}
     for name, sec in queries.items():
-        old = (prev.get("queries") or {}).get(name)
+        old = old_queries.get(name)
         if old:
             ratios[name] = round(sec / old, 2)
     return {"baseline": os.path.basename(files[-1]), "ratio": ratios}
