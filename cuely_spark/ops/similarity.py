@@ -109,15 +109,25 @@ def lsh_signatures(emb: DataFrame, nbits: int = 8,
 
 def lsh_knn(emb: DataFrame, query_vec, k: int = 10, nbits: int = 8,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            seed: str = "lsh") -> DataFrame:
-    """ANN: probe the query's bucket plus all buckets at hamming
-    distance 1, exact cosine re-rank inside."""
+            seed: str = "lsh", max_hamming: int = 1) -> DataFrame:
+    """ANN: probe the query's bucket plus all buckets within hamming
+    distance `max_hamming` (the nprobe-style recall/cost knob — probe
+    count = sum of C(nbits, i) for i <= max_hamming), exact cosine
+    re-rank inside."""
+    from itertools import combinations
+
     first = emb.select(F.size(vec_col).alias("d")).first()
     planes = _hyperplanes(int(first["d"]), nbits, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbits = (planes @ qv) > 0
     qbucket = int((qbits * (1 << np.arange(nbits))).sum())
-    probes = [qbucket] + [qbucket ^ (1 << b) for b in range(nbits)]
+    probes = [qbucket]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(nbits), h):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(qbucket ^ mask)
     sigs = lsh_signatures(emb, nbits, vec_col, id_col, seed)
     cand_ids = (sigs.filter(F.col("bucket").isin(probes))
                 .select(F.col("vec_id").alias("__cand_id")))

@@ -414,3 +414,30 @@ def test_ivf_sample_unbiased_beats_id_ordered(spark, monkeypatch):
 
     assert recall_md5 > recall_id
     assert recall_md5 >= 0.8
+
+
+def test_lsh_knn_max_hamming_recall_monotone(spark):
+    """Widening the probe radius (the nprobe knob) can only grow the
+    candidate set, so recall vs exact is monotone in max_hamming and
+    equals exact at max_hamming = nbits."""
+    from cuely_spark.ops import similarity as sim
+
+    rng = np.random.default_rng(9)
+    dim, n = 12, 300
+    rows = [(i, [float(x) for x in rng.normal(size=dim)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    q = rng.normal(size=dim)
+    exact = [r["vec_id"] for r in
+             sim.knn_bruteforce(emb, q, k=10).collect()]
+    nbits = 6
+    prev = -1.0
+    for h in (0, 1, 2, nbits):
+        got = [r["vec_id"] for r in
+               sim.lsh_knn(emb, q, k=10, nbits=nbits,
+                           max_hamming=h).collect()]
+        rec = len(set(got) & set(exact)) / 10
+        assert rec >= prev
+        prev = rec
+    assert prev == 1.0  # full radius == brute force
