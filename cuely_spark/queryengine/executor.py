@@ -1391,10 +1391,25 @@ class IndexReader:
         return (ts.select("term", score.alias("score"))
                 .orderBy(F.desc("score"), F.asc("term")).limit(k))
 
+    @staticmethod
+    def _reject_expansions(pq: ParsedQuery, api: str) -> None:
+        """The df-based estimators treat every token as a literal
+        dictionary term; an expansion clause's base token (a prefix /
+        pattern / typo) has df 0, which would silently estimate 0
+        instead of the expansion's mass — fail loudly instead."""
+        if any((c.kind == "term" and (c.fuzzy or c.prefix or c.regex))
+               or (c.kind == "phrase" and c.prefix)
+               for c in pq.clauses):
+            raise ValueError(
+                f"{api} estimates from literal term dfs; "
+                f"fuzzy/prefix/regex/phrase-prefix clauses are not "
+                f"estimable — use count() for the exact number")
+
     def approx_count(self, query: str | ParsedQuery) -> int:
         """Term-independence estimate N * prod(df_i / N) (reference:
         crates/core/src/collector/approx_count.rs:104-211)."""
         pq = parse_query(query) if isinstance(query, str) else query
+        self._reject_expansions(pq, "approx_count")
         dfs = self.term_dfs(pq.all_terms())
         est = float(self.num_docs)
         for c in pq.positive:
@@ -1435,6 +1450,7 @@ class IndexReader:
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
+        self._reject_expansions(pq, "approx_count_hybrid")
         dfs = self.term_dfs(pq.all_terms())
         required = [c.tokens for c in pq.positive]
         if any(dfs[t] == 0 for toks in required for t in toks):

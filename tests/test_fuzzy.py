@@ -118,3 +118,15 @@ def test_phrase_prefix_local_matches_distributed(reader):
     np.testing.assert_allclose(sl, [r["score"] for r in rows],
                                rtol=1e-6)
     assert dl.size > 0
+
+
+def test_estimators_reject_expansion_clauses(reader):
+    # df-based estimators would silently return 0 for a prefix token
+    # with df 0; they must refuse instead
+    for q in ("tes*", "test~1", '"the te"*', "/te.t/"):
+        with pytest.raises(ValueError):
+            reader.approx_count(q)
+        with pytest.raises(ValueError):
+            reader.approx_count_hybrid(q)
+    # count() stays the exact path for these
+    assert reader.count("tes* the") > 0
