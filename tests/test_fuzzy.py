@@ -130,3 +130,25 @@ def test_estimators_reject_expansion_clauses(reader):
             reader.approx_count_hybrid(q)
     # count() stays the exact path for these
     assert reader.count("tes* the") > 0
+
+
+def test_batch_parity_for_expansion_queries(reader):
+    """search_many must give the same per-query rankings as search()
+    for the round-4 query shapes (expansions happen at plan time, so
+    the batch kernel sees identical specs)."""
+    batch = {
+        "fz": "test~1 the",
+        "pre": "tes* the",
+        "php": '"the te"* website',
+        "slop": '"test website"~2',
+    }
+    res = reader.search_many(batch, k=15).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for name, q in batch.items():
+        rows = reader.search(q, k=15).collect()
+        want = [(i + 1, r["doc_id"]) for i, r in enumerate(rows)]
+        got = [(rk, d) for rk, d, _ in sorted(by_q.get(name, []))]
+        assert got == want, name
