@@ -143,6 +143,22 @@ def _group_arrow_postings(tbl):
         yield s, by_term
 
 
+def _levenshtein1(a: str, b: str) -> bool:
+    """Exact ed <= 1 check (O(len), no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion: split at the first mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 def _matcher_spec(m, by_term, empty_tp, doclen_fn=None):
     """Compile an optic matcher (optic.compile_rules shape) into the
     kernel's matcher-spec shape (kernel.matcher_mask)."""
@@ -407,6 +423,35 @@ class IndexReader:
         return self._cap_expansion(terms[m].tolist(),
                                    dfv[m].tolist(), cap)
 
+    def build_fuzzy_sidecar(self) -> str:
+        """Write the SymSpell deletion-neighborhood sidecar:
+        (variant, term, df) rows where variant = the term itself plus
+        every single-character deletion, range-partitioned and sorted
+        by variant so the query-time candidate lookup is a row-group-
+        pruned columnar read instead of a full dictionary scan — the
+        scale path for fuzzy matching at extreme vocabularies
+        (ed<=1 exactness: two words are within Levenshtein 1 iff their
+        deletion neighborhoods intersect; candidates are still
+        DP-verified, so false neighbors like ab/ba are dropped).
+        One shuffle over the term dictionary; rebuild after merges."""
+        from pyspark.sql import functions as F
+
+        out = os.path.join(self.path, "fuzzy_deletes")
+        ts = (self.spark.read.parquet(self._term_stats_path)
+              .filter(~F.col("term").contains(":")))
+        variants = ts.select(
+            "term", "df",
+            F.explode(F.array_distinct(F.concat(
+                F.array(F.col("term")),
+                F.expr("transform(sequence(1, length(term)), "
+                       "i -> concat(substr(term, 1, i - 1), "
+                       "substr(term, i + 1)))")))).alias("variant"))
+        (variants.repartitionByRange(
+            max(1, min(32, variants.rdd.getNumPartitions())), "variant")
+         .sortWithinPartitions("variant")
+         .write.mode("overwrite").parquet(out))
+        return out
+
     def fuzzy_terms(self, token: str, d: int,
                     cap: int | None = None) -> list[str]:
         """Dictionary terms within Levenshtein distance `d` of `token`,
@@ -418,9 +463,16 @@ class IndexReader:
         columnar scan with a length-band prefilter and ONE vectorized
         DP across all candidates — O(|band| * len^2) numpy ops).
 
-        Scale note: at extreme vocabularies a deletion-neighborhood
-        sidecar (SymSpell) or a real FST would replace the linear band
-        scan; the query plan downstream is unchanged either way."""
+        Scale: when the SymSpell deletion-neighborhood sidecar exists
+        (:meth:`build_fuzzy_sidecar`) and d == 1, candidates come from
+        a row-group-pruned variant lookup instead of the linear band
+        scan — exact (deletion neighborhoods intersect iff ed <= 1,
+        then DP-verified); d == 2 and sidecar-less indexes use the
+        vectorized scan."""
+        if d == 1:
+            side = self._fuzzy_sidecar_lookup(token, cap)
+            if side is not None:
+                return side
         terms, dfv = self._vocab()
         lens = np.array([len(t) for t in terms], dtype=np.int64)
         band = np.abs(lens - len(token)) <= d
@@ -451,6 +503,31 @@ class IndexReader:
         ok = ed <= d
         return self._cap_expansion(cand[ok].tolist(),
                                    cdf[ok].tolist(), cap)
+
+    def _fuzzy_sidecar_lookup(self, token: str,
+                              cap: int | None) -> list[str] | None:
+        """ed<=1 candidates via the deletion sidecar; None when the
+        sidecar is absent (fall back to the scan)."""
+        path = os.path.join(self.path, "fuzzy_deletes")
+        if not os.path.isdir(path):
+            return None
+        import pyarrow.dataset as ds
+
+        qvars = [token] + [token[:i] + token[i + 1:]
+                           for i in range(len(token))]
+        tbl = ds.dataset(path, format="parquet").to_table(
+            columns=["term", "df"],
+            filter=ds.field("variant").isin(list(dict.fromkeys(qvars))))
+        cand = sorted({(t, int(f)) for t, f in
+                       zip(tbl["term"].to_pylist(),
+                           tbl["df"].to_pylist())})
+        ok_terms, ok_dfs = [], []
+        for t, f in cand:
+            # DP-verify: neighborhoods can intersect at ed 2 (ab/ba)
+            if _levenshtein1(token, t):
+                ok_terms.append(t)
+                ok_dfs.append(f)
+        return self._cap_expansion(ok_terms, ok_dfs, cap)
 
     @staticmethod
     def _prune_dead_alts(compounds: dict, dfs: dict[str, int]) -> dict:

@@ -152,3 +152,25 @@ def test_batch_parity_for_expansion_queries(reader):
         want = [(i + 1, r["doc_id"]) for i, r in enumerate(rows)]
         got = [(rk, d) for rk, d, _ in sorted(by_q.get(name, []))]
         assert got == want, name
+
+
+def test_fuzzy_sidecar_matches_scan(reader):
+    """The SymSpell deletion sidecar must return EXACTLY the linear
+    scan's ed<=1 expansion (intersecting neighborhoods + DP verify),
+    for present, absent, and short tokens."""
+    # scan baseline first (no sidecar on disk yet)
+    import os
+    import shutil
+
+    side = os.path.join(reader.path, "fuzzy_deletes")
+    shutil.rmtree(side, ignore_errors=True)
+    tokens = ["test", "tst", "the", "websit", "a", "zzz"]
+    scan = {t: reader.fuzzy_terms(t, 1) for t in tokens}
+    try:
+        reader.build_fuzzy_sidecar()
+        for t in tokens:
+            assert reader.fuzzy_terms(t, 1) == scan[t], t
+        # d=2 still takes the scan path (superset of d=1)
+        assert set(scan["tst"]) <= set(reader.fuzzy_terms("tst", 2))
+    finally:
+        shutil.rmtree(side, ignore_errors=True)
