@@ -39,6 +39,15 @@ _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
                  "block_max_tf", "block_min_fnid"]
 
 
+class Expansion(list):
+    """compounds-dict value marking a dictionary-expansion or-group
+    (fuzzy/prefix/regex term) whose members REPLACE the clause token:
+    the base term participates only if it survived the capped
+    (df desc, term) expansion — tantivy multi-term expansion semantics
+    (a FuzzyTermQuery/RegexQuery rewrites to exactly its dictionary
+    matches; the query token itself is not an implicit extra member)."""
+
+
 def _build_term_postings(grp) -> TermPostings:
     grp = grp.sort_values("block_id")
     return TermPostings(
@@ -69,7 +78,12 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
         if c.kind == "term":
             t = c.tokens[0]
             alts = (compounds or {}).get(pos_idx[j])
-            if alts:
+            if isinstance(alts, Expansion):
+                # member set IS the expansion — no implicit base member
+                members = [(by_term.get(a, empty_tp), weights[a])
+                           for a in alts]
+                specs.append(("or", members, None))
+            elif alts:
                 members = [(by_term.get(t, empty_tp), weights[t])]
                 members += [(by_term.get(a, empty_tp), weights[a])
                             for a in alts]
@@ -371,9 +385,14 @@ class IndexReader:
                 exp = self.prefix_terms(c.tokens[0])
             else:
                 exp = self.regex_terms(c.tokens[0])
-            alts = [t for t in exp if t != c.tokens[0]]
-            if alts:
-                compounds.setdefault(i, []).extend(alts)
+            # the or-group's member set is EXACTLY the capped expansion
+            # (tantivy multi-term expansion semantics: the base token
+            # participates only when it survives the (df desc, term)
+            # top-50 cut — it is NOT an implicit extra member). Stem /
+            # ngram alternatives added above stay as members.
+            compounds[i] = Expansion(
+                exp + [a for a in compounds.get(i, ())
+                       if a not in exp])
         c_terms = [t for alts in compounds.values() for t in alts]
         return compounds, c_terms
 
@@ -539,7 +558,11 @@ class IndexReader:
         out = {}
         for i, alts in compounds.items():
             live = [a for a in alts if dfs.get(a, 0) > 0]
-            if live:
+            if isinstance(alts, Expansion):
+                # keep the (possibly empty) marker: an expansion clause
+                # must never fall back to plain base-term matching
+                out[i] = Expansion(live)
+            elif live:
                 out[i] = live
         return out
 
@@ -552,7 +575,12 @@ class IndexReader:
         pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
         for j, c in enumerate(pq.positive):
             alts = compounds.get(pos_idx[j], [])
-            if c.kind == "term" and alts:
+            if c.kind == "term" and isinstance(alts, Expansion):
+                # expansion clause: live iff >= 1 expansion member is
+                # (the base term is NOT an implicit member)
+                if not alts or all(dfs[a] == 0 for a in alts):
+                    return True
+            elif c.kind == "term" and alts:
                 if (dfs[c.tokens[0]] == 0
                         and all(dfs[a] == 0 for a in alts)):
                     return True

@@ -120,6 +120,28 @@ def _as_filter(raw: str) -> str | None:
     return None
 
 
+def _lower_regex_literals(pat: str) -> str:
+    """Lowercase only LITERAL characters of a regex pattern.
+
+    The indexed dictionary is lowercase, so literal letters in a
+    `/pattern/` term must fold to match it — but a blanket .lower()
+    corrupts escape semantics (`\\S` -> `\\s` inverts the class,
+    `\\B` -> `\\b`, `\\W` -> `\\w`). Walk the pattern and preserve any
+    backslash escape verbatim, lowercasing everything else."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:
+            out.append(c)
+            out.append(pat[i + 1])
+            i += 2
+        else:
+            out.append(c.lower())
+            i += 1
+    return "".join(out)
+
+
 def _raw_split(q: str) -> list[str]:
     """Split into raw parser terms, keeping quoted phrases intact."""
     out: list[str] = []
@@ -200,7 +222,7 @@ def parse_query(q: str) -> ParsedQuery:
         elif raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
             import re as _re
 
-            pat = raw[1:-1].lower()
+            pat = _lower_regex_literals(raw[1:-1])
             try:
                 _re.compile(pat)
             except _re.error as e:

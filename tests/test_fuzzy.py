@@ -92,6 +92,18 @@ def test_parser_prefix_and_regex_forms():
     assert all(not c.prefix and not c.regex for c in pq.clauses)
 
 
+def test_regex_lowercases_literals_but_not_escapes():
+    # literal letters fold to the lowercase dictionary...
+    pq = parse_query("/SC(AN|an)/")
+    assert pq.clauses[0].tokens == ("sc(an|an)",)
+    # ...but backslash escapes keep their (case-significant) meaning:
+    # \S must NOT become \s (inverted class), \B not \b, \W not \w
+    pq = parse_query(r"/\S+X/")
+    assert pq.clauses[0].tokens == (r"\S+x",)
+    pq = parse_query(r"/A\Wb\\Q/")
+    assert pq.clauses[0].tokens == (r"a\Wb\\q",)
+
+
 def test_prefix_and_regex_expansion(reader):
     pre = reader.prefix_terms("th")
     assert pre and all(t.startswith("th") for t in pre)
@@ -174,3 +186,49 @@ def test_fuzzy_sidecar_matches_scan(reader):
         assert set(scan["tst"]) <= set(reader.fuzzy_terms("tst", 2))
     finally:
         shutil.rmtree(side, ignore_errors=True)
+
+
+def test_expansion_cap_drops_base_term(spark, tmp_path):
+    """>50 dictionary matches: the or-group's member set is EXACTLY the
+    (df desc, term asc) top-50 — the base token is NOT an implicit 51st
+    member when it falls outside the cap (tantivy expansion semantics;
+    the DuckDB oracle models the same set)."""
+    import duckdb
+    import pandas as pd
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.oracle_sql import bm25_search_sql
+    from cuely_spark.queryengine import IndexReader
+
+    rows = []
+    doc_id = 0
+    # 60 prefix terms, df=2 each -> top-50 keeps aa00..aa49 (term asc
+    # on the df tie); the base term "aa" itself has df=1 -> OUTSIDE cap
+    for i in range(60):
+        for _ in range(2):
+            rows.append((doc_id, f"aa{i:02d} filler")); doc_id += 1
+    rows.append((doc_id, "aa filler")); base_doc = doc_id
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = str(tmp_path / "idx_cap")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                doc_id_col="doc_id", rows_per_segment=50)
+    r = IndexReader(spark, out)
+
+    exp = r.prefix_terms("aa")
+    assert len(exp) == 50
+    assert exp == [f"aa{i:02d}" for i in range(50)]
+    assert "aa" not in exp
+
+    docs, _ = r.search_collect("aa*", k=r.num_docs)
+    assert base_doc not in docs.tolist()
+    assert set(docs.tolist()) == set(range(100))  # aa00..aa49 docs
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = (con.execute(bm25_search_sql("aa*", k=None)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    dd, ss = r.search_collect("aa*", k=r.num_docs, dtype=np.float64)
+    order = np.argsort(dd)
+    assert got["doc_id"].tolist() == dd[order].tolist()
+    np.testing.assert_allclose(got["score"], np.round(ss[order], 4),
+                               atol=2e-4)
