@@ -44,6 +44,10 @@ FT_QUERIES = {
     # phrase-prefix: fixed words exact, last position matched by any
     # dictionary term with the prefix (tantivy PhrasePrefixQuery)
     "ft_phrase_prefix": ('"key s"*', None),
+    # range filter: unscored Must over the row store's n_chars column
+    # (the tantivy fast-field RangeQuery analog)
+    "ft_range": ("merge n_chars:150..350", None),
+    "ft_range_open": ("merge table n_chars:>300", None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),
@@ -807,7 +811,8 @@ m AS (
                THEN 1.5 ELSE 0 END) AS down
   FROM ({bm25_search_sql("merge table", k=None, round_to=None)}) b
   JOIN documents d USING (doc_id)
-  WHERE NOT (lower(d.lang) = 'zh' AND {_tok_has('scan')})
+  WHERE NOT (COALESCE(lower(d.lang), '') = 'zh'
+             AND {_tok_has('scan')})
 )
 SELECT doc_id,
        round(score * CASE WHEN down > boost THEN 1.0 / (1.0 + down - boost)

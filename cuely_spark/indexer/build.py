@@ -204,6 +204,52 @@ def segment_kernel(id_col: str, text_col: str,
     return kernel
 
 
+def build_fuzzy_sidecar(spark: SparkSession, index_path: str, *,
+                        max_d: int = 1,
+                        term_stats_path: str | None = None) -> str:
+    """Write the SymSpell deletion-neighborhood sidecar for an index:
+    (variant, term, df) rows where variant = the term itself plus every
+    deletion of up to `max_d` characters, range-partitioned and sorted
+    by variant so the query-time fuzzy candidate lookup is a row-group-
+    pruned columnar read instead of a dictionary scan (reference role:
+    the FST + Levenshtein automaton walk,
+    crates/tantivy/src/query/fuzzy_query/mod.rs; SymSpell exactness:
+    ed(a,b) <= d iff the depth-d deletion neighborhoods intersect —
+    candidates are still DP-verified at query time, so false neighbors
+    like ab/ba are dropped).
+
+    One shuffle over the TERM DICTIONARY (not the corpus): ~|vocab| *
+    (1 + L + L(L-1)/2) rows at max_d=2 for term length L — at a 10^8
+    vocabulary this is a ~3*10^9-row distributed sort, well within one
+    job, and query lookups stay O(row-group). Called by build_index /
+    merge_segments unless fuzzy_sidecar=False."""
+    if max_d not in (1, 2):
+        raise ValueError("fuzzy sidecar supports max_d 1 or 2")
+    paths = IndexPaths(index_path)
+    ts_path = term_stats_path or paths.term_stats
+    out = os.path.join(index_path, "fuzzy_deletes")
+    ts = (spark.read.parquet(ts_path)
+          .filter(~F.col("term").contains(":")))
+    del1 = ("concat(array({x}), transform(sequence(1, length({x})), "
+            "i -> concat(substr({x}, 1, i - 1), substr({x}, i + 1))))")
+    if max_d == 1:
+        expr = f"array_distinct({del1.format(x='term')})"
+    else:
+        inner = del1.format(x="x")
+        expr = (f"array_distinct(flatten(transform("
+                f"{del1.format(x='term')}, x -> {inner})))")
+    variants = ts.select(
+        "term", "df", F.explode(F.expr(expr)).alias("variant"))
+    (variants.repartitionByRange(
+        max(1, min(32, variants.rdd.getNumPartitions())), "variant")
+     .sortWithinPartitions("variant")
+     .write.mode("overwrite").parquet(out))
+    # files starting with "_" are ignored by spark/pyarrow readers
+    fsio.write_json(os.path.join(out, "_sidecar.json"),
+                    {"max_d": max_d})
+    return out
+
+
 def _job_groups(segments: list[int], num_jobs: int) -> list[list[int]]:
     num_jobs = max(1, min(num_jobs, len(segments)))
     size = math.ceil(len(segments) / num_jobs)
@@ -229,6 +275,8 @@ def build_index(
     score_col: str | None = None,
     field_cols: tuple[str, ...] = (),
     stem_lang_col: str | None = None,
+    fuzzy_sidecar: bool = True,
+    fuzzy_sidecar_d: int = 1,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -417,6 +465,12 @@ def build_index(
         "ngram_max": ngram_max,
         "stemmed": stem,
         "stem_lang_col": stem_lang_col,
+        # which English stemmer produced the "s:" shadow terms: the
+        # query side MUST stem with the same algorithm or recall
+        # silently drops (Porter vs Porter2 diverge: fairly -> fairli
+        # vs fair). IndexReader routes query-side stemming by this.
+        "stemmer_version": ("porter2" if (stem or stem_lang_col)
+                            else None),
         "score_sorted_by": score_col,
         "text_col": text_col,
         "field_cols": list(field_cols),
@@ -428,5 +482,11 @@ def build_index(
         "segment_offsets": ({str(k): v for k, v in offsets.items()}
                             if offsets is not None else None),
     }
+    if fuzzy_sidecar:
+        # default-on so the O(row-group) fuzzy lookup is the standard
+        # path, not an opt-in an operator must remember after builds
+        build_fuzzy_sidecar(spark, out_path, max_d=fuzzy_sidecar_d)
+        _mark("fuzzy_sidecar")
+        stats["built_sec"] = time.time() - t0
     fsio.write_json(paths.stats, stats)
     return paths

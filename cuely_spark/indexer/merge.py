@@ -49,6 +49,7 @@ def merge_segments(
     out_path: str,
     target_segments: int = 1,
     hot_df_threshold: int = DEFAULT_HOT_DF,
+    fuzzy_sidecar: bool | None = None,
 ) -> IndexPaths:
     src = IndexPaths(index_path)
     dst = IndexPaths(out_path)
@@ -231,6 +232,20 @@ def merge_segments(
     new_stats["segment_map"] = {str(k): v for k, v in seg_map.items()}
     new_stats["turns_path"] = stats.get(
         "turns_path", os.path.join(index_path, "turns"))
+    # the deletion sidecar is a term-dictionary artifact — rebuild it
+    # against the merged term_stats so fuzzy lookups stay O(row-group)
+    # after the merge (default: rebuild iff the source index had one)
+    src_side = os.path.join(index_path, "fuzzy_deletes")
+    if fuzzy_sidecar is None:
+        fuzzy_sidecar = fsio.exists(src_side)
+    if fuzzy_sidecar:
+        from .build import build_fuzzy_sidecar
+
+        side_d = 1
+        meta_p = os.path.join(src_side, "_sidecar.json")
+        if fsio.exists(meta_p):
+            side_d = int(fsio.read_json(meta_p).get("max_d", 1))
+        build_fuzzy_sidecar(spark, out_path, max_d=side_d)
     fsio.write_json(dst.stats, new_stats)
     fsio.write_json(
         os.path.join(dst.manifest_dir, "merge.json"),

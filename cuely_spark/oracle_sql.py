@@ -141,6 +141,29 @@ def _filter_cond(token: str, table: str, id_col: str,
             f"AND lower(CAST(t_{field}.{field} AS VARCHAR)) = {_q(value)})")
 
 
+def _range_cond(c, table: str, id_col: str, doc_expr: str) -> str:
+    """SQL for an unscored range-filter clause (n_chars:100..200,
+    ts:>=2025-01-01) against the source table's column — mirrors the
+    engine's partition-pruned row-store range filter."""
+    col = c.tokens[0]
+
+    def lit(v: str) -> str:
+        if col == "ts":
+            return "TIMESTAMP '" + v.replace("T", " ") + "'"
+        return v
+
+    conds = []
+    if c.lo is not None:
+        conds.append(f"r_{col}.{col} {'>=' if c.lo_inc else '>'} "
+                     f"{lit(c.lo)}")
+    if c.hi is not None:
+        conds.append(f"r_{col}.{col} {'<=' if c.hi_inc else '<'} "
+                     f"{lit(c.hi)}")
+    return (f"EXISTS (SELECT 1 FROM {table} r_{col} "
+            f"WHERE r_{col}.{id_col} = {doc_expr} "
+            f"AND {' AND '.join(conds)})")
+
+
 def _ngram_tok_cte(ngram_max: int) -> str:
     """`ntok`: text tokens plus 'b:'/'t:' compound shadow tokens (lead()
     windows over the positional stream, never crossing docs)."""
@@ -281,7 +304,7 @@ fs{ci} AS (
                 f"AND {a}.term = {_q(c.tokens[0])}")
             score_terms.append(
                 f"{_idf(c.tokens[0])} * {_tf_factor(f'{a}.tf')}")
-        elif c.kind == "filter":
+        elif c.kind in ("filter", "range"):
             pass  # unscored; condition added below
         else:
             name = f"ph{ci}"
@@ -339,6 +362,9 @@ fs{ci} AS (
         elif c.kind == "filter":
             exists_conds.append(_filter_cond(c.tokens[0], table, id_col,
                                              "cand.doc_id"))
+        elif c.kind == "range":
+            exists_conds.append(_range_cond(c, table, id_col,
+                                            "cand.doc_id"))
         else:
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM ph{ci} "
@@ -596,6 +622,8 @@ def count_sql(query: str, table: str = "documents",
         elif c.kind == "filter":
             conds.append(_filter_cond(c.tokens[0], table, id_col,
                                       "dl.doc_id"))
+        elif c.kind == "range":
+            conds.append(_range_cond(c, table, id_col, "dl.doc_id"))
         else:
             ctes.append(_phrase_cte(f"ph{ci}", c.tokens, c.slop))
             conds.append(f"EXISTS (SELECT 1 FROM ph{ci} "

@@ -75,6 +75,8 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
     pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
     specs = []
     for j, c in enumerate(pq.positive):
+        if c.kind == "range":
+            continue  # handled as a kernel range_fn, not a posting spec
         if c.kind == "term":
             t = c.tokens[0]
             alts = (compounds or {}).get(pos_idx[j])
@@ -171,6 +173,164 @@ def _levenshtein1(a: str, b: str) -> bool:
     while i < la and a[i] == b[i]:
         i += 1
     return a[i:] == b[i + 1:]
+
+
+#: upper sentinel for prefix range filters — no token contains the max
+#: code point, so [p, p + _MAX_CHAR) covers exactly the p-prefixed terms
+_MAX_CHAR = "\U0010ffff"
+
+
+def _typed_range_spec(c) -> tuple:
+    """Range Clause -> (col, lo, hi, lo_inc, hi_inc) with typed bounds
+    (ISO timestamps for ts, numerics otherwise)."""
+    col = c.tokens[0]
+
+    def conv(v):
+        if v is None:
+            return None
+        if col == "ts":
+            from datetime import datetime
+
+            return datetime.fromisoformat(v)
+        f = float(v)
+        return int(f) if f.is_integer() else f
+
+    return (col, conv(c.lo), conv(c.hi), c.lo_inc, c.hi_inc)
+
+
+def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
+                  offsets: dict | None):
+    """cand -> bool mask of docs whose row-store attributes satisfy ALL
+    range filters — an executor-local columnar read of THIS segment's
+    row-store partition(s) with the range predicate pushed into the
+    parquet scan (the fast-field RangeQuery analog,
+    crates/tantivy/src/query/range_query/: there a u64/date fast-field
+    column; here the hive-partitioned turns table, so the read is
+    pruned to segment_id=N and to the row-groups whose column min/max
+    stats intersect the range). Read once per (segment, query) task;
+    membership for candidates via searchsorted."""
+    cache: dict = {}
+
+    def fn(cand):
+        if "ids" not in cache:
+            import pyarrow.dataset as ds
+
+            parts = []
+            for sd in seg_dirs:
+                p = os.path.join(turns_path, f"segment_id={sd}")
+                dset = ds.dataset(p, format="parquet")
+                flt = None
+                for col, lo, hi, lo_inc, hi_inc in specs:
+                    if col not in dset.schema.names:
+                        raise ValueError(
+                            f"range column {col!r} not in the row "
+                            f"store (has: {dset.schema.names})")
+                    if lo is not None:
+                        e = (ds.field(col) >= lo if lo_inc
+                             else ds.field(col) > lo)
+                        flt = e if flt is None else flt & e
+                    if hi is not None:
+                        e = (ds.field(col) <= hi if hi_inc
+                             else ds.field(col) < hi)
+                        flt = e if flt is None else flt & e
+                idcol = ("doc_id" if "doc_id" in dset.schema.names
+                         else "__ord")
+                tbl = dset.to_table(columns=[idcol], filter=flt)
+                ids = np.asarray(tbl[idcol].to_numpy(), dtype=np.int64)
+                if idcol == "__ord":
+                    ids = ids + int(offsets[str(sd)])
+                parts.append(ids)
+            cache["ids"] = (np.sort(np.concatenate(parts)) if parts
+                            else np.empty(0, dtype=np.int64))
+        ids = cache["ids"]
+        out = np.zeros(cand.size, dtype=bool)
+        if ids.size and cand.size:
+            pos = np.clip(np.searchsorted(ids, cand), 0, ids.size - 1)
+            out = ids[pos] == cand
+        return out
+
+    return fn
+
+
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """Exact ed <= d check (full DP with an early-out row minimum —
+    strings here are tokens, so the table is tiny)."""
+    if d <= 1:
+        return _levenshtein1(a, b)
+    if abs(len(a) - len(b)) > d:
+        return False
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+        if min(dp) > d:
+            return False
+    return dp[-1] <= d
+
+
+def _deletes_upto(token: str, d: int) -> list[str]:
+    """The SymSpell deletion neighborhood: every string obtainable from
+    `token` by deleting up to d characters (token itself included)."""
+    out = {token}
+    frontier = {token}
+    for _ in range(d):
+        nxt = {w[:i] + w[i + 1:] for w in frontier
+               for i in range(len(w))}
+        frontier = nxt - out
+        out |= nxt
+    return sorted(out)
+
+
+def _lev_mask(cands: list[str], token: str, d: int) -> np.ndarray:
+    """Vectorized Levenshtein <= d mask: one DP whose rows are numpy
+    ops across every candidate at once (after a length-band prefilter),
+    O(len(token) * maxlen) numpy ops regardless of candidate count."""
+    n = len(cands)
+    out = np.zeros(n, dtype=bool)
+    lens = np.fromiter((len(t) for t in cands), dtype=np.int64,
+                       count=n)
+    band = np.abs(lens - len(token)) <= d
+    idx = np.nonzero(band)[0]
+    if idx.size == 0:
+        return out
+    sub_lens = lens[idx]
+    lmax = int(sub_lens.max())
+    mat = np.zeros((idx.size, lmax), dtype=np.int64)
+    for r, i in enumerate(idx):
+        t = cands[i]
+        mat[r, : len(t)] = [ord(c) for c in t]
+    prev = np.tile(np.arange(lmax + 1, dtype=np.int64), (idx.size, 1))
+    for i, ch in enumerate(token, start=1):
+        tc = ord(ch)
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, lmax + 1):
+            sub = prev[:, j - 1] + (mat[:, j - 1] != tc)
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                              cur[:, j - 1] + 1), sub)
+        prev = cur
+    ed = prev[np.arange(idx.size), sub_lens]
+    out[idx] = ed <= d
+    return out
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    """Longest literal prefix every match of `pat` must start with —
+    used to range-prune the dictionary scan (the automaton-over-FST
+    walk prunes the same way, crates/tantivy/src/query/regex_query.rs).
+    Conservative: stops at the first metacharacter, and drops the final
+    literal when a quantifier could repeat it zero times."""
+    special = set(".^$*+?{}[]|()\\")
+    out: list[str] = []
+    i = 0
+    while i < len(pat) and pat[i] not in special:
+        out.append(pat[i])
+        i += 1
+    if i < len(pat) and pat[i] in "*?{" and out:
+        out.pop()
+    return "".join(out)
 
 
 def _matcher_spec(m, by_term, empty_tp, doclen_fn=None):
@@ -289,6 +449,29 @@ class IndexReader:
                      .drop("__off", "__ord"))
         return turns
 
+    def _seg_sources(self) -> dict | None:
+        """Merged index: kernel segment id -> source row-store segment
+        dirs (the row store is not copied on merge); None otherwise."""
+        if not self._segment_map:
+            return None
+        out: dict[int, list[int]] = {}
+        for old, new in self._segment_map.items():
+            out.setdefault(int(new), []).append(int(old))
+        return out
+
+    def _validate_range_cols(self, specs: list) -> None:
+        """Driver-side schema check so a bad range column fails with a
+        clear error instead of a task-side stack."""
+        import pyarrow.dataset as ds
+
+        names = ds.dataset(self._turns_path, format="parquet",
+                           partitioning="hive").schema.names
+        for col, *_ in specs:
+            if col not in names:
+                raise ValueError(
+                    f"range column {col!r} not in the row store "
+                    f"(has: {sorted(n for n in names if not n.startswith('__'))})")
+
     # ------------------------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global doc-freq per term — the tantivy-FST-lookup analog.
@@ -346,8 +529,26 @@ class IndexReader:
         use_stem = (stemmed if stemmed is not None
                     else bool(self.stats.get("stemmed")))
         if use_stem and occur != "should":
-            from ..stemmer import detect_lang, english_stem, stem_for_lang
+            from ..stemmer import (detect_lang, english_stem, porter_stem,
+                                   stem_for_lang)
 
+            # route query-side English stemming by the version the
+            # index was BUILT with — a Porter-era index's "s:" terms
+            # are invisible to Porter2 query stems (silent recall loss)
+            ver = self.stats.get("stemmer_version")
+            if ver is None and not getattr(self, "_warned_stem_ver",
+                                           False):
+                import warnings
+
+                warnings.warn(
+                    "stemmed index has no stemmer_version in stats.json"
+                    " (pre-Porter2 build?); assuming porter2 — if this "
+                    "index was built with classic Porter, stemmed "
+                    "recall will silently drop; rebuild the index or "
+                    "set stats stemmer_version='porter'")
+                self._warned_stem_ver = True
+            if ver == "porter":
+                english_stem = porter_stem
             if self.stats.get("stem_lang_col"):
                 # language-routed index: stem the query with the query's
                 # language — explicit `lang` wins, else marker detection
@@ -355,7 +556,11 @@ class IndexReader:
                 # query/mod.rs:77-154 + text_field.rs:294-326)
                 qlang = lang or detect_lang(
                     [t for c in pq.clauses for t in c.tokens])
-                stem_q = lambda t: stem_for_lang(t, qlang)  # noqa: E731
+                stem_q = (  # noqa: E731
+                    (lambda t: porter_stem(t) if qlang == "en"
+                     else stem_for_lang(t, qlang))
+                    if ver == "porter"
+                    else lambda t: stem_for_lang(t, qlang))
             else:
                 stem_q = english_stem
             for i, c in enumerate(pq.clauses):
@@ -399,77 +604,164 @@ class IndexReader:
     #: Lucene's default cap on fuzzy/prefix/regex-query expansions
     max_fuzzy_expansions: int = 50
 
-    def _vocab(self):
-        """(terms, dfs) of the plain-text dictionary (shadow/attribute
-        namespaces excluded) — driver-local columnar read of the
-        term-stats table, the FST stand-in."""
-        import pyarrow.dataset as ds
-
-        tbl = ds.dataset(self._term_stats_path,
-                         format="parquet").to_table(
-            columns=["term", "df"])
-        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-        dfv = np.asarray(tbl["df"].to_numpy(), dtype=np.int64)
-        plain = np.array([(":" not in t) for t in terms], dtype=bool)
-        return terms[plain], dfv[plain]
+    #: above this many dictionary rows surviving row-group pruning, an
+    #: expansion scan moves from the driver to a distributed term-stats
+    #: scan (only the top-cap rows ever return to the driver)
+    vocab_scan_threshold: int = 200_000
 
     def _cap_expansion(self, terms, dfs, cap: int | None) -> list[str]:
         cap = cap or self.max_fuzzy_expansions
         matched = sorted(zip(terms, dfs), key=lambda x: (-x[1], x[0]))
         return [t for t, _ in matched[:cap]]
 
+    def _vocab_rows(self) -> int:
+        """Dictionary row count from parquet metadata (no data read)."""
+        if getattr(self, "_nvocab_cache", None) is None:
+            import pyarrow.dataset as ds
+
+            self._nvocab_cache = ds.dataset(
+                self._term_stats_path, format="parquet").count_rows()
+        return self._nvocab_cache
+
+    def _scan_expansion(self, match_fn, flt, cap: int | None,
+                        prefilter=None) -> list[str]:
+        """Expansion matching over the term dictionary.
+
+        Driver path: a streaming pyarrow scan of the (row-group-pruned
+        when `flt` is a sorted-column range) term-stats table, keeping a
+        running (df desc, term asc) top-cap across batches — bounded
+        driver memory however many terms match.
+        Distributed path (pruned rows > vocab_scan_threshold): the same
+        matcher fans out over executors via mapInArrow on the term-stats
+        scan (`prefilter` narrows it, e.g. the prefix range or the
+        fuzzy length band) and ONLY the global top-cap rows are
+        collected — the vocabulary itself never reaches the driver.
+        This is the scale analog of tantivy's automaton-over-FST term
+        expansion (crates/tantivy/src/query/fuzzy_query/mod.rs,
+        regex_query.rs): pruned dictionary walk, capped result."""
+        import pyarrow.dataset as ds
+
+        cap = cap or self.max_fuzzy_expansions
+        dset = ds.dataset(self._term_stats_path, format="parquet")
+        if dset.count_rows(filter=flt) > self.vocab_scan_threshold:
+            return self._distributed_expansion(match_fn, prefilter, cap)
+        scanner = dset.scanner(columns=["term", "df"], filter=flt)
+        best: list[tuple[int, str]] = []
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
+            terms = batch["term"].to_pylist()
+            dfv = batch["df"].to_numpy(zero_copy_only=False)
+            keep = match_fn(terms)
+            pairs = [(-int(f), t)
+                     for t, f, m in zip(terms, dfv, keep)
+                     if m and ":" not in t]
+            if pairs:
+                best = sorted(best + pairs)[:cap]
+        return [t for _, t in best]
+
+    def _distributed_expansion(self, match_fn, prefilter,
+                               cap: int) -> list[str]:
+        """Executor-side expansion for extreme vocabularies."""
+        from pyspark.sql import functions as F
+
+        df = (self.spark.read.parquet(self._term_stats_path)
+              .select("term", "df")
+              .filter(~F.col("term").contains(":")))
+        if prefilter is not None:
+            df = prefilter(df)
+
+        def match(batches):
+            import pyarrow as pa
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                terms = b["term"].to_pylist()
+                m = np.asarray(match_fn(terms), dtype=bool)
+                if m.any():
+                    dfv = b["df"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    yield pa.record_batch(
+                        [pa.array([t for t, k in zip(terms, m) if k]),
+                         pa.array(dfv[m])],
+                        names=["term", "df"])
+
+        rows = (df.mapInArrow(match, schema="term string, df long")
+                .orderBy(F.desc("df"), F.asc("term")).limit(cap)
+                .collect())
+        return [r["term"] for r in rows]
+
     def prefix_terms(self, prefix: str,
                      cap: int | None = None) -> list[str]:
         """Dictionary terms starting with `prefix`, (df desc, term asc)
-        capped — the wildcard-prefix expansion (`word*`)."""
-        terms, dfv = self._vocab()
-        m = np.array([t.startswith(prefix) for t in terms], dtype=bool)
-        return self._cap_expansion(terms[m].tolist(),
-                                   dfv[m].tolist(), cap)
+        capped — the wildcard-prefix expansion (`word*`).
+
+        The term-stats table is range-partitioned and SORTED by term,
+        so the [prefix, prefix+MAXCHAR) dataset filter prunes to the
+        row-groups whose min/max term stats intersect the prefix range
+        — the FST-prefix-walk analog (same trick term_dfs uses for IN
+        lookups). Never a full-vocabulary read."""
+        import pyarrow.dataset as ds
+
+        flt = ((ds.field("term") >= prefix)
+               & (ds.field("term") < prefix + _MAX_CHAR))
+
+        def prefilter(df):
+            from pyspark.sql import functions as F
+
+            return df.filter((F.col("term") >= prefix)
+                             & (F.col("term") < prefix + _MAX_CHAR))
+
+        return self._scan_expansion(
+            lambda ts: [t.startswith(prefix) for t in ts], flt, cap,
+            prefilter=prefilter)
 
     def regex_terms(self, pattern: str,
                     cap: int | None = None) -> list[str]:
         """Dictionary terms fully matching `pattern` (tantivy
         RegexQuery analog — there a regex automaton walks the FST;
-        here a dictionary scan; patterns should stay RE2-compatible
-        for oracle parity with DuckDB's regexp_full_match)."""
+        here a pruned dictionary scan; patterns should stay
+        RE2-compatible for oracle parity with DuckDB's
+        regexp_full_match). The pattern's longest literal prefix
+        range-prunes the scan like prefix_terms; prefix-free patterns
+        over a huge vocabulary take the distributed scan."""
         import re
 
+        import pyarrow.dataset as ds
+
         rx = re.compile(pattern)
-        terms, dfv = self._vocab()
-        m = np.array([rx.fullmatch(t) is not None for t in terms],
-                     dtype=bool)
-        return self._cap_expansion(terms[m].tolist(),
-                                   dfv[m].tolist(), cap)
+        lit = _regex_literal_prefix(pattern)
+        flt = None
+        prefilter = None
+        if lit:
+            flt = ((ds.field("term") >= lit)
+                   & (ds.field("term") < lit + _MAX_CHAR))
 
-    def build_fuzzy_sidecar(self) -> str:
-        """Write the SymSpell deletion-neighborhood sidecar:
-        (variant, term, df) rows where variant = the term itself plus
-        every single-character deletion, range-partitioned and sorted
-        by variant so the query-time candidate lookup is a row-group-
-        pruned columnar read instead of a full dictionary scan — the
-        scale path for fuzzy matching at extreme vocabularies
-        (ed<=1 exactness: two words are within Levenshtein 1 iff their
-        deletion neighborhoods intersect; candidates are still
-        DP-verified, so false neighbors like ab/ba are dropped).
-        One shuffle over the term dictionary; rebuild after merges."""
-        from pyspark.sql import functions as F
+            def prefilter(df):
+                from pyspark.sql import functions as F
 
-        out = os.path.join(self.path, "fuzzy_deletes")
-        ts = (self.spark.read.parquet(self._term_stats_path)
-              .filter(~F.col("term").contains(":")))
-        variants = ts.select(
-            "term", "df",
-            F.explode(F.array_distinct(F.concat(
-                F.array(F.col("term")),
-                F.expr("transform(sequence(1, length(term)), "
-                       "i -> concat(substr(term, 1, i - 1), "
-                       "substr(term, i + 1)))")))).alias("variant"))
-        (variants.repartitionByRange(
-            max(1, min(32, variants.rdd.getNumPartitions())), "variant")
-         .sortWithinPartitions("variant")
-         .write.mode("overwrite").parquet(out))
-        return out
+                return df.filter((F.col("term") >= lit)
+                                 & (F.col("term") < lit + _MAX_CHAR))
+
+        return self._scan_expansion(
+            lambda ts: [rx.fullmatch(t) is not None for t in ts],
+            flt, cap, prefilter=prefilter)
+
+    def build_fuzzy_sidecar(self, max_d: int = 1) -> str:
+        """Write the SymSpell deletion-neighborhood sidecar (delegates
+        to :func:`cuely_spark.indexer.build.build_fuzzy_sidecar`):
+        (variant, term, df) rows where variant = the term plus every
+        deletion of up to `max_d` characters, range-partitioned and
+        sorted by variant so the query-time candidate lookup is a
+        row-group-pruned columnar read instead of a dictionary scan —
+        the scale path for fuzzy matching at extreme vocabularies.
+        Built automatically by build_index/merge_segments unless
+        disabled; call directly to upgrade max_d on an existing index."""
+        from ..indexer.build import build_fuzzy_sidecar
+
+        return build_fuzzy_sidecar(self.spark, self.path, max_d=max_d,
+                                   term_stats_path=self._term_stats_path)
 
     def fuzzy_terms(self, token: str, d: int,
                     cap: int | None = None) -> list[str]:
@@ -478,72 +770,60 @@ class IndexReader:
         (Lucene's default) — the tantivy FuzzyTermQuery expansion
         (crates/tantivy/src/query/fuzzy_query/mod.rs walks an FST with
         a Levenshtein automaton; the parquet term-stats table is this
-        engine's FST stand-in, so the expansion is a driver-local
-        columnar scan with a length-band prefilter and ONE vectorized
-        DP across all candidates — O(|band| * len^2) numpy ops).
+        engine's FST stand-in).
 
-        Scale: when the SymSpell deletion-neighborhood sidecar exists
-        (:meth:`build_fuzzy_sidecar`) and d == 1, candidates come from
-        a row-group-pruned variant lookup instead of the linear band
-        scan — exact (deletion neighborhoods intersect iff ed <= 1,
-        then DP-verified); d == 2 and sidecar-less indexes use the
-        vectorized scan."""
-        if d == 1:
-            side = self._fuzzy_sidecar_lookup(token, cap)
-            if side is not None:
-                return side
-        terms, dfv = self._vocab()
-        lens = np.array([len(t) for t in terms], dtype=np.int64)
-        band = np.abs(lens - len(token)) <= d
-        cand = terms[band]
-        cdf = dfv[band]
-        if cand.size == 0:
-            return []
-        lmax = int(lens[band].max())
-        mat = np.zeros((cand.size, lmax), dtype=np.int64)
-        for i, t in enumerate(cand):
-            mat[i, : len(t)] = [ord(c) for c in t]
-        clens = lens[band]
-        tcodes = np.array([ord(c) for c in token], dtype=np.int64)
-        # vectorized Levenshtein DP: rows over the token's chars, each
-        # row a numpy op across every candidate at once
-        prev = np.tile(np.arange(lmax + 1, dtype=np.int64),
-                       (cand.size, 1))
-        for i, tc in enumerate(tcodes, start=1):
-            cur = np.empty_like(prev)
-            cur[:, 0] = i
-            for j in range(1, lmax + 1):
-                sub = prev[:, j - 1] + (mat[:, j - 1] != tc)
-                cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
-                                                  cur[:, j - 1] + 1),
-                                       sub)
-            prev = cur
-        ed = prev[np.arange(cand.size), clens]
-        ok = ed <= d
-        return self._cap_expansion(cand[ok].tolist(),
-                                   cdf[ok].tolist(), cap)
+        Scale ladder: (1) when the SymSpell deletion sidecar exists
+        with sidecar max_d >= d, candidates come from a row-group-
+        pruned variant lookup — O(row-group), exact (neighborhoods of
+        depth d intersect iff ed <= d, then DP-verified); (2) small
+        vocabularies take a driver-local streaming scan with a length
+        band + ONE vectorized DP across each batch; (3) huge
+        vocabularies without a sidecar fan the same matcher out over
+        executors, returning only the top-cap."""
+        side = self._fuzzy_sidecar_lookup(token, d, cap)
+        if side is not None:
+            return side
 
-    def _fuzzy_sidecar_lookup(self, token: str,
+        def prefilter(df):
+            from pyspark.sql import functions as F
+
+            return df.filter(F.length("term").between(
+                len(token) - d, len(token) + d))
+
+        return self._scan_expansion(
+            lambda ts: _lev_mask(ts, token, d), None, cap,
+            prefilter=prefilter)
+
+    def _fuzzy_sidecar_lookup(self, token: str, d: int,
                               cap: int | None) -> list[str] | None:
-        """ed<=1 candidates via the deletion sidecar; None when the
-        sidecar is absent (fall back to the scan)."""
+        """ed<=d candidates via the deletion sidecar; None when the
+        sidecar is absent or built with a smaller max_d (fall back to
+        the scan)."""
         path = os.path.join(self.path, "fuzzy_deletes")
         if not os.path.isdir(path):
             return None
+        side_d = 1
+        meta_p = os.path.join(path, "_sidecar.json")
+        if os.path.exists(meta_p):
+            import json
+
+            with open(meta_p) as f:
+                side_d = int(json.load(f).get("max_d", 1))
+        if side_d < d:
+            return None
         import pyarrow.dataset as ds
 
-        qvars = [token] + [token[:i] + token[i + 1:]
-                           for i in range(len(token))]
+        qvars = _deletes_upto(token, d)
         tbl = ds.dataset(path, format="parquet").to_table(
             columns=["term", "df"],
-            filter=ds.field("variant").isin(list(dict.fromkeys(qvars))))
+            filter=ds.field("variant").isin(qvars))
         cand = sorted({(t, int(f)) for t, f in
                        zip(tbl["term"].to_pylist(),
                            tbl["df"].to_pylist())})
         ok_terms, ok_dfs = [], []
         for t, f in cand:
-            # DP-verify: neighborhoods can intersect at ed 2 (ab/ba)
-            if _levenshtein1(token, t):
+            # DP-verify: neighborhoods can intersect past ed d (ab/ba)
+            if _lev_within(token, t, d):
                 ok_terms.append(t)
                 ok_dfs.append(f)
         return self._cap_expansion(ok_terms, ok_dfs, cap)
@@ -575,6 +855,8 @@ class IndexReader:
         pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
         for j, c in enumerate(pq.positive):
             alts = compounds.get(pos_idx[j], [])
+            if c.kind == "range":
+                continue  # liveness is data-dependent, not df-derivable
             if c.kind == "term" and isinstance(alts, Expansion):
                 # expansion clause: live iff >= 1 expansion member is
                 # (the base term is NOT an implicit member)
@@ -694,6 +976,16 @@ class IndexReader:
                 raise ValueError(
                     "negations belong in the must query, not in should")
         s_terms = spq.all_terms() if spq is not None else []
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        if range_specs:
+            if occur == "should":
+                raise ValueError("range filters require occur='must'")
+            self._validate_range_cols(range_specs)
+            rng_ctx = (self._turns_path, self._seg_sources(),
+                       self._offsets)
+        else:
+            rng_ctx = None
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
@@ -746,11 +1038,16 @@ class IndexReader:
             req = ([_matcher_spec(m, by_term, empty_tp, dl_fn)
                     for m in require_matchers]
                    if require_matchers is not None else None)
+            rfns = None
+            if rng_ctx is not None:
+                troot, ssrc, offs = rng_ctx
+                dirs = ssrc.get(seg, [seg]) if ssrc else [seg]
+                rfns = [_range_lookup(troot, dirs, range_specs, offs)]
             return segment_topk(
                 specs, negs, seg_k, dtype=dtype,
                 max_docs=max_docs_per_segment,
                 should_specs=sspecs, boost_specs=bspecs,
-                require_any=req)
+                require_any=req, range_fns=rfns)
 
         def run_arrow(batches):
             # arrow-native per-partition evaluation: ONE arrow table per
@@ -1070,6 +1367,7 @@ class IndexReader:
         parsed, shoulds, offsets = {}, {}, {}
         compounds_by, cterms_by, bm25f_by = {}, {}, {}
         optic_by: dict = {}
+        ranges_by: dict = {}
         union_terms: set[str] = set()
         for name, v in queries.items():
             q, sh, off, is_f, coeffs, qlang, qoptic = _spec(v)
@@ -1092,6 +1390,10 @@ class IndexReader:
             pq = parse_query(q) if isinstance(q, str) else q
             parsed[name] = pq
             offsets[name] = off
+            ranges_by[name] = [_typed_range_spec(c) for c in pq.positive
+                               if c.kind == "range"]
+            if ranges_by[name]:
+                self._validate_range_cols(ranges_by[name])
             spq = (parse_query(sh) if isinstance(sh, str) else sh) \
                 if sh is not None else None
             if spq is not None and spq.negative:
@@ -1103,7 +1405,8 @@ class IndexReader:
                                      "bm25f specs need a multi-field "
                                      "index")
                 if spq is not None or pq.negative or any(
-                        c.kind == "phrase" for c in pq.clauses):
+                        c.kind in ("phrase", "range")
+                        for c in pq.clauses):
                     raise ValueError(
                         "batch bm25f specs take simple positive terms "
                         "+ filters only")
@@ -1192,6 +1495,9 @@ class IndexReader:
             for c in pq.positive) or rules_pos
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         idx_path = self.path
+        rng_ctx = ((self._turns_path, self._seg_sources(),
+                    self._offsets)
+                   if any(ranges_by.get(n) for n in live) else None)
         live_terms = sorted(
             {t for name in live for t in parsed[name].all_terms()}
             | {t for name in live if shoulds[name] is not None
@@ -1239,12 +1545,21 @@ class IndexReader:
                                               dl_fn)
                                 for m in req_matchers]
                                if req_matchers is not None else None)
+                    rfns = None
+                    rspecs = ranges_by.get(name)
+                    if rspecs and rng_ctx is not None:
+                        troot, ssrc, offs = rng_ctx
+                        dirs = (ssrc.get(seg, [seg]) if ssrc
+                                else [seg])
+                        rfns = [_range_lookup(troot, dirs, rspecs,
+                                              offs)]
                     docs, scores = segment_topk(specs, negs,
                                                 seg_k[name],
                                                 dtype=dtype,
                                                 should_specs=sspecs,
                                                 boost_specs=bspecs,
-                                                require_any=req)
+                                                require_any=req,
+                                                range_fns=rfns)
                     if docs.size:
                         names_out.extend([name] * docs.size)
                         docs_out.append(docs.astype(np.int64))
@@ -1330,6 +1645,12 @@ class IndexReader:
                 raise ValueError(
                     "negations belong in the must query, not in should")
         s_terms = spq.all_terms() if spq is not None else []
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        if range_specs:
+            if occur == "should":
+                raise ValueError("range filters require occur='must'")
+            self._validate_range_cols(range_specs)
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
@@ -1369,9 +1690,17 @@ class IndexReader:
             else:
                 sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                           if spq is not None else None)
+                rfns = None
+                if range_specs:
+                    ssrc = self._seg_sources()
+                    dirs = (ssrc.get(_seg, [_seg]) if ssrc
+                            else [_seg])
+                    rfns = [_range_lookup(self._turns_path, dirs,
+                                          range_specs, self._offsets)]
                 docs, scores = segment_topk(specs, negs, seg_k,
                                             dtype=dtype,
-                                            should_specs=sspecs)
+                                            should_specs=sspecs,
+                                            range_fns=rfns)
             if docs.size:
                 parts.append((docs, scores))
         if not parts:
@@ -1416,6 +1745,14 @@ class IndexReader:
         from pyspark.sql import functions as F
 
         pq = parse_query(query) if isinstance(query, str) else query
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        if range_specs:
+            self._validate_range_cols(range_specs)
+            rng_ctx = (self._turns_path, self._seg_sources(),
+                       self._offsets)
+        else:
+            rng_ctx = None
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
@@ -1451,7 +1788,14 @@ class IndexReader:
             for _seg, by_term in _group_arrow_postings(tbl):
                 specs, negs = _make_specs(pq, weights, by_term, dtype,
                                           compounds=compounds)
-                total += count_matches(specs, negs)
+                rfns = None
+                if rng_ctx is not None:
+                    troot, ssrc, offs = rng_ctx
+                    dirs = (ssrc.get(_seg, [_seg]) if ssrc
+                            else [_seg])
+                    rfns = [_range_lookup(troot, dirs, range_specs,
+                                          offs)]
+                total += count_matches(specs, negs, range_fns=rfns)
             yield pa.record_batch([pa.array([total], type=pa.int64())],
                                   names=["n"])
 
@@ -1504,11 +1848,12 @@ class IndexReader:
         instead of the expansion's mass — fail loudly instead."""
         if any((c.kind == "term" and (c.fuzzy or c.prefix or c.regex))
                or (c.kind == "phrase" and c.prefix)
+               or c.kind == "range"
                for c in pq.clauses):
             raise ValueError(
                 f"{api} estimates from literal term dfs; "
-                f"fuzzy/prefix/regex/phrase-prefix clauses are not "
-                f"estimable — use count() for the exact number")
+                f"fuzzy/prefix/regex/phrase-prefix/range clauses are "
+                f"not estimable — use count() for the exact number")
 
     def approx_count(self, query: str | ParsedQuery) -> int:
         """Term-independence estimate N * prod(df_i / N) (reference:

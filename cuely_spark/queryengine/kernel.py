@@ -567,6 +567,7 @@ def segment_topk(
     should_specs: list[tuple] | None = None,
     boost_specs: list[tuple] | None = None,
     require_any: list[list[TermPostings]] | None = None,
+    range_fns: list | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -594,6 +595,12 @@ def segment_topk(
     require_any: DiscardNonMatching gate — candidates must fully match
         at least ONE of the listed term-groups (reference: optic.rs:
         56-70 adds a Must union of the non-discard rules' matchers).
+    range_fns: unscored range-filter membership callables
+        (cand -> bool mask), ANDed into the conjunction before the
+        ShortCircuit cap — the fast-field RangeQuery analog
+        (crates/tantivy/src/query/range_query/): each fn wraps a
+        partition-pruned columnar read of this segment's row-store
+        attribute column.
     A missing Must term in this segment (TermPostings with 0 blocks)
     makes the conjunction empty.
     Returns (doc_ids, scores) local top-k.
@@ -620,7 +627,7 @@ def segment_topk(
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
             and not mustnot_groups and max_docs is None
             and not should_specs and not boost_specs
-            and require_any is None):
+            and require_any is None and not range_fns):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
@@ -638,6 +645,14 @@ def segment_topk(
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
     cand = intersect_units(units)
+    if cand.size == 0:
+        return empty
+    # unscored range filters: part of the conjunction, applied before
+    # the ShortCircuit cap (a capped scan must count range-surviving
+    # docs, like any other Must clause)
+    for fn in (range_fns or []):
+        if cand.size:
+            cand = cand[fn(cand)]
     if cand.size == 0:
         return empty
     if max_docs is not None and cand.size > max_docs:
@@ -818,6 +833,7 @@ def count_matches(
     clause_specs: list[tuple],
     mustnot_groups: list[list[TermPostings]],
     max_docs: int | None = None,
+    range_fns: list | None = None,
 ) -> int:
     """Exact match count for the conjunction (no scoring).
 
@@ -859,8 +875,11 @@ def count_matches(
     pphrases = [tp for kind, tp, _ in clause_specs if kind == "pphrase"]
 
     def _finish(cand: np.ndarray) -> np.ndarray:
-        """Phrase-verify + MustNot-exclude one chunk of candidates
-        (all per-doc pointwise, so chunking is exact)."""
+        """Range-filter + phrase-verify + MustNot-exclude one chunk of
+        candidates (all per-doc pointwise, so chunking is exact)."""
+        for fn in (range_fns or []):
+            if cand.size:
+                cand = cand[fn(cand)]
         for tp in phrases:
             if cand.size:
                 cand = cand[phrase_tf(tp, cand,

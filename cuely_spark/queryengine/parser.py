@@ -74,12 +74,16 @@ MAX_FUZZY = 2
 
 @dataclass(frozen=True)
 class Clause:
-    kind: str                 # "term" | "phrase" | "not"
-    tokens: tuple[str, ...]   # normalized tokens
+    kind: str                 # "term" | "phrase" | "not" | "range"
+    tokens: tuple[str, ...]   # normalized tokens (range: (column,))
     slop: int = 0             # phrase clauses only: positional budget
     fuzzy: int = 0            # term clauses only: Levenshtein distance
     prefix: bool = False      # term clauses only: dictionary prefix
     regex: bool = False       # term clauses only: tokens[0] is a regex
+    lo: str | None = None     # range clauses: lower bound (as typed)
+    hi: str | None = None     # range clauses: upper bound
+    lo_inc: bool = True       # range clauses: bound inclusivity
+    hi_inc: bool = True
 
 
 @dataclass
@@ -98,6 +102,8 @@ class ParsedQuery:
         """Distinct terms needed from the index, in first-seen order."""
         seen: dict[str, None] = {}
         for c in self.clauses:
+            if c.kind == "range":
+                continue  # a range's column name is not an index term
             for t in c.tokens:
                 seen.setdefault(t, None)
         return list(seen)
@@ -108,6 +114,67 @@ _QUOTES = {'"': '"', "“": "”"}
 
 # attribute-filter fields indexed as synthetic `field:value` terms
 FILTER_FIELDS = ("role", "tool", "lang", "source")
+
+# numeric/timestamp columns of the row store queryable as unscored
+# range filters (the tantivy fast-field RangeQuery analog,
+# crates/tantivy/src/query/range_query/ — there a u64/date fast-field
+# scan; here a partition-pruned columnar read of the segment's row
+# store). Syntax (whitespace-free so the raw splitter stays simple —
+# documented deviation from tantivy's `field:[a TO b]`):
+#   col:lo..hi   inclusive both ends
+#   col:>x col:>=x col:<x col:<=x
+RANGE_FIELDS = ("n_chars", "ts", "turn_idx")
+
+
+def _range_bound_ok(field: str, v: str) -> bool:
+    if field == "ts":
+        from datetime import datetime
+
+        try:
+            datetime.fromisoformat(v)
+            return True
+        except ValueError:
+            return False
+    try:
+        float(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _as_range(raw: str) -> Clause | None:
+    """'n_chars:100..200' / 'ts:>=2025-01-01' -> range Clause, else
+    None. Bounds are validated here (int/float, or ISO timestamp for
+    ts) so a malformed range fails loudly at parse time."""
+    if ":" not in raw:
+        return None
+    field, _, v = raw.partition(":")
+    f = field.lower()
+    if f not in RANGE_FIELDS or not v:
+        return None
+    lo = hi = None
+    lo_inc = hi_inc = True
+    if v.startswith(">="):
+        lo = v[2:]
+    elif v.startswith(">"):
+        lo, lo_inc = v[1:], False
+    elif v.startswith("<="):
+        hi = v[2:]
+    elif v.startswith("<"):
+        hi, hi_inc = v[1:], False
+    elif ".." in v:
+        lo, _, hi = v.partition("..")
+    else:
+        return None
+    if lo is not None and not lo:
+        return None
+    if hi is not None and not hi:
+        return None
+    for b in (lo, hi):
+        if b is not None and not _range_bound_ok(f, b):
+            raise ValueError(f"bad range bound {b!r} for {f!r}")
+    return Clause("range", (f,), lo=lo, hi=hi,
+                  lo_inc=lo_inc, hi_inc=hi_inc)
 
 
 def _as_filter(raw: str) -> str | None:
@@ -217,6 +284,8 @@ def parse_query(q: str) -> ParsedQuery:
                 toks = tuple(tokenize(raw[1:]))
                 if toks:
                     clauses.append(Clause("not", toks))
+        elif (rng := _as_range(raw)) is not None:
+            clauses.append(rng)
         elif (filt := _as_filter(raw)) is not None:
             clauses.append(Clause("filter", (filt,)))
         elif raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
@@ -251,13 +320,20 @@ def parse_query(q: str) -> ParsedQuery:
     seen: set[tuple] = set()
     dedup: list[Clause] = []
     for c in clauses:
-        key = (c.kind, c.tokens, c.slop, c.fuzzy, c.prefix, c.regex)
+        key = (c.kind, c.tokens, c.slop, c.fuzzy, c.prefix, c.regex,
+               c.lo, c.hi, c.lo_inc, c.hi_inc)
         if key not in seen:
             seen.add(key)
             dedup.append(c)
     pq = ParsedQuery(dedup)
     if not pq.positive:
         raise ValueError("query has no positive clauses")
+    if all(c.kind == "range" for c in pq.positive):
+        # candidate enumeration walks postings; a pure range filter has
+        # none to walk (the reference's RangeQuery composes with terms
+        # the same way in practice — standalone ranges are out of scope)
+        raise ValueError(
+            "range filters need at least one term/phrase/filter clause")
     return pq
 
 

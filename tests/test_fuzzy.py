@@ -232,3 +232,100 @@ def test_expansion_cap_drops_base_term(spark, tmp_path):
     assert got["doc_id"].tolist() == dd[order].tolist()
     np.testing.assert_allclose(got["score"], np.round(ss[order], 4),
                                atol=2e-4)
+
+
+def test_fuzzy_sidecar_d2_matches_scan(reader):
+    """max_d=2 sidecar: depth-2 deletion neighborhoods + DP verify must
+    equal the linear-scan ed<=2 expansion for d in {1, 2}."""
+    import os
+    import shutil
+
+    side = os.path.join(reader.path, "fuzzy_deletes")
+    shutil.rmtree(side, ignore_errors=True)
+    tokens = ["test", "tst", "te", "websit", "webs", "zzz"]
+    scan1 = {t: reader.fuzzy_terms(t, 1) for t in tokens}
+    scan2 = {t: reader.fuzzy_terms(t, 2) for t in tokens}
+    try:
+        reader.build_fuzzy_sidecar(max_d=2)
+        for t in tokens:
+            assert reader.fuzzy_terms(t, 1) == scan1[t], ("d1", t)
+            assert reader.fuzzy_terms(t, 2) == scan2[t], ("d2", t)
+    finally:
+        shutil.rmtree(side, ignore_errors=True)
+
+
+def test_prefix_scan_prunes_row_groups(tmp_path):
+    """The prefix expansion must hit only the row-groups whose term
+    min/max range intersects [p, p+MAXCHAR) — O(row-group), never a
+    full-vocabulary read (the sorted term_stats layout is the FST
+    stand-in)."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from cuely_spark.queryengine.executor import _MAX_CHAR
+
+    terms = sorted(f"{c}{i:03d}" for c in "abcdefgh" for i in range(200))
+    tbl = pa.table({"term": terms,
+                    "df": list(range(1, len(terms) + 1)),
+                    "ttf": [1] * len(terms)})
+    p = tmp_path / "term_stats"
+    p.mkdir()
+    pq.write_table(tbl, str(p / "part-0.parquet"), row_group_size=100)
+
+    dset = ds.dataset(str(p), format="parquet")
+    frag = next(iter(dset.get_fragments()))
+    total_rgs = frag.num_row_groups
+    assert total_rgs == 16
+    flt = (ds.field("term") >= "c") & (ds.field("term") < "c" + _MAX_CHAR)
+    pruned = frag.split_by_row_group(flt)
+    assert 0 < len(pruned) <= 3  # the 2 'c' groups (+1 boundary)
+
+    # and the reader-level lookup over this layout returns exactly the
+    # (df desc, term asc) top-50 of the c-prefixed terms
+    from cuely_spark.queryengine.executor import IndexReader
+
+    class _Stub(IndexReader):
+        def __init__(self):
+            self._term_stats_path = str(p)
+
+    got = _Stub().prefix_terms("c")
+    want = sorted((t for t in terms if t.startswith("c")),
+                  key=lambda t: (-(terms.index(t) + 1), t))[:50]
+    assert got == want
+    assert all(t.startswith("c") for t in got) and len(got) == 50
+
+
+def test_distributed_expansion_matches_driver_scan(spark, tmp_path):
+    """Above vocab_scan_threshold the expansion fans out over executors
+    — same (df desc, term asc) top-cap as the driver path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuely_spark.queryengine.executor import IndexReader
+
+    terms = sorted(f"{c}x{i:03d}" for c in "abc" for i in range(300))
+    tbl = pa.table({"term": terms,
+                    "df": [((i * 7) % 301) + 1
+                           for i in range(len(terms))],
+                    "ttf": [1] * len(terms)})
+    p = tmp_path / "term_stats"
+    p.mkdir()
+    pq.write_table(tbl, str(p / "part-0.parquet"), row_group_size=128)
+
+    class _Stub(IndexReader):
+        def __init__(self):
+            self._term_stats_path = str(p)
+            self.path = str(tmp_path)  # no sidecar dir -> scan path
+            self.spark = spark
+
+    stub = _Stub()
+    driver_pre = stub.prefix_terms("bx")
+    driver_fz = stub.fuzzy_terms("bx10", 1)
+    driver_rx = stub.regex_terms("bx1(0|1).")
+    stub2 = _Stub()
+    stub2.vocab_scan_threshold = 10  # force the distributed path
+    assert stub2.prefix_terms("bx") == driver_pre
+    assert stub2.fuzzy_terms("bx10", 1) == driver_fz
+    assert stub2.regex_terms("bx1(0|1).") == driver_rx
+    assert len(driver_pre) == 50 and driver_fz and driver_rx

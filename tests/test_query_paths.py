@@ -371,3 +371,42 @@ def test_optic_rules_in_batch_specs(spark, tmp_path):
         exp = [(i + 1, row["doc_id"], row["score"])
                for i, row in enumerate(single)]
         assert sorted(by_q[name]) == exp, name
+
+
+def test_stemmer_version_routing(spark, tmp_path_factory):
+    """stats.json records which English stemmer built the 's:' shadows;
+    the query side stems with the SAME algorithm (Porter vs Porter2
+    diverge: fairly -> fairli vs fair), and a version-less stemmed
+    index warns instead of silently losing recall."""
+    import json
+    import os
+    import warnings
+
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+    from cuely_spark.queryengine.parser import parse_query
+
+    rows = [(0, "fairly good"), (1, "fair play")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("stem_ver"))
+    build_index(spark, df, out, doc_id_col="doc_id", stem=True)
+    r = IndexReader(spark, out)
+    assert r.stats["stemmer_version"] == "porter2"
+    comp, _ = r._plan_alternatives(parse_query("fairly"))
+    assert "s:fair" in comp[0]  # porter2 query stem
+
+    sp = os.path.join(out, "stats.json")
+    st = json.load(open(sp))
+    st["stemmer_version"] = "porter"
+    json.dump(st, open(sp, "w"))
+    r = IndexReader(spark, out)
+    comp, _ = r._plan_alternatives(parse_query("fairly"))
+    assert "s:fairli" in comp[0]  # routed to classic porter
+
+    del st["stemmer_version"]
+    json.dump(st, open(sp, "w"))
+    r = IndexReader(spark, out)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r._plan_alternatives(parse_query("fairly"))
+    assert any("stemmer_version" in str(x.message) for x in w)
