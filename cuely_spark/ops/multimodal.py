@@ -7,11 +7,15 @@ codec libraries:
 - **BMP** (24-bit uncompressed) — pure-numpy header parse + row gather;
 - **PNG** (8-bit gray/RGB/RGBA, non-interlaced) — stdlib zlib inflate
   + numpy per-row unfiltering (all five filter types incl. Paeth);
-- **WAV** (PCM) — stdlib ``wave`` + numpy frombuffer.
+- **WAV** (PCM) — stdlib ``wave`` + numpy frombuffer;
+- **JPEG** (baseline sequential, ITU-T T.81) — Annex-K Huffman +
+  dequant + IDCT in ops/jpeg.py, with a matching encoder for
+  round-trip tests (progressive streams raise).
 
-Compressed codecs needing an entropy/transform library (JPEG/MP3/
-H.264) remain a marked substitution point: payloads whose magic bytes
-aren't BMP/PNG/WAV fall back to the deterministic md5 stub so schemas,
+Codecs needing a real media library (MP3/AAC/H.264, progressive
+JPEG, WebP) remain a marked substitution point: payloads whose magic
+bytes aren't BMP/PNG/JPEG/WAV fall back to the deterministic md5 stub
+so schemas,
 batch shapes, partitioning, and UDF signatures stay real and tested
 everywhere. Swap `_decode_image` / `_decode_audio`'s fallback branch
 for PIL/ffmpeg in production — the Spark-side plumbing does not
@@ -213,9 +217,16 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
-    # SUBSTITUTION POINT: JPEG needs a codec lib (PIL/opencv) not
-    # shipped in this container — deterministic fake pixels keep the
-    # pipeline testable end-to-end
+    if payload[:3] == b"\xff\xd8\xff":
+        # REAL baseline JPEG decode (stdlib+numpy, ops/jpeg.py);
+        # progressive/arithmetic streams raise loudly rather than
+        # returning silently wrong pixels
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    # SUBSTITUTION POINT: remaining compressed formats (WebP/AVIF/...)
+    # need a codec lib not shipped in this container — deterministic
+    # fake pixels keep the pipeline testable end-to-end
     seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
@@ -246,8 +257,16 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             w = int(rng.integers(4, 33))
             h = int(rng.integers(4, 33))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # alternate real codecs so BOTH decode paths run end-to-end
-            payload = encode_png(px) if (i // 3) % 2 else encode_bmp(px)
+            # rotate the real codecs so ALL decode paths run end-to-end
+            which = (i // 3) % 3
+            if which == 0:
+                payload = encode_bmp(px)
+            elif which == 1:
+                payload = encode_png(px)
+            else:
+                from .jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, quality=92)
             rows.append((i, kind, bytearray(payload), w, h, None, None))
         elif kind == "audio":
             sr = 16000

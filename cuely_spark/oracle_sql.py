@@ -608,6 +608,77 @@ SELECT cand.doc_id AS doc_id,
 FROM cand {' '.join(joins)}"""
 
 
+def mlt_sql(doc_id: int, max_terms: int = 10, k: int | None = None,
+            table: str = "documents", text_col: str = "text",
+            id_col: str = "doc_id", round_to: int = 4) -> str:
+    """More-like-this oracle: select the source doc's top tf*idf terms
+    (w desc, term asc, LIMIT max_terms — identical f64 expression tree
+    to the engine's selection), then score the scored disjunction of
+    those terms with BM25 (sum over matched selected terms)."""
+    base = base_ctes(table, text_col, id_col)
+    sql = f"""WITH {base},
+tf_all AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  GROUP BY doc_id, term
+),
+dfs_all AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+  GROUP BY term
+),
+sel AS (
+  SELECT t.term
+  FROM tf_all t JOIN dfs_all d USING (term) CROSS JOIN stats s
+  WHERE t.doc_id = {doc_id}
+  ORDER BY t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           t.term
+  LIMIT {max_terms}
+),
+cand AS (
+  SELECT q.doc_id, q.fnq FROM dlq q
+  WHERE EXISTS (SELECT 1 FROM tf_all t JOIN sel USING (term)
+                WHERE t.doc_id = q.doc_id)
+)
+SELECT cand.doc_id AS doc_id,
+       round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2) / (t.tf + 1.2 *
+                    (1 - 0.75 + 0.75 * cand.fnq / s.avgfn))),
+             {round_to}) AS score
+FROM cand
+JOIN tf_all t ON t.doc_id = cand.doc_id
+JOIN sel ON sel.term = t.term
+JOIN dfs_all d ON d.term = t.term
+CROSS JOIN stats s
+GROUP BY cand.doc_id, cand.fnq
+ORDER BY score DESC, doc_id ASC"""
+    if k is not None:
+        sql += f"\nLIMIT {k}"
+    return sql
+
+
+def suggest_sql(tokens: list[str], d: int = 2, k: int = 3,
+                table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """Spell-suggestion oracle: per typo token, dictionary terms within
+    Levenshtein d ranked (ed asc, df desc, term asc), top-k — mirrors
+    IndexReader.suggest_terms."""
+    base = base_ctes(table, text_col, id_col)
+    parts = []
+    for tok in tokens:
+        parts.append(f"""(
+  SELECT {_q(tok)} AS token, term AS suggestion,
+         levenshtein(term, {_q(tok)})::BIGINT AS ed, df
+  FROM dfs_all
+  WHERE levenshtein(term, {_q(tok)}) <= {d} AND term != {_q(tok)}
+  ORDER BY ed, df DESC, term LIMIT {k})""")
+    return f"""WITH {base},
+dfs_all AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  GROUP BY term
+)
+SELECT * FROM ({' UNION ALL '.join(parts)})
+ORDER BY token, ed, df DESC, suggestion"""
+
+
 def count_sql(query: str, table: str = "documents",
               text_col: str = "text", id_col: str = "doc_id") -> str:
     """Exact match count of a query: single row (n)."""

@@ -32,7 +32,8 @@ from .. import TOP_K_DEFAULT
 from ..bm25 import Bm25FWeight, Bm25Weight
 from .kernel import (PhraseTps, TermPostings, count_matches, segment_topk,
                      union_topk)
-from .parser import ParsedQuery, compound_alternatives, parse_query
+from .parser import (Clause, ParsedQuery, compound_alternatives,
+                     parse_query)
 
 _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
                  "ndocs", "docs", "tfs", "fnids",
@@ -283,12 +284,13 @@ def _deletes_upto(token: str, d: int) -> list[str]:
     return sorted(out)
 
 
-def _lev_mask(cands: list[str], token: str, d: int) -> np.ndarray:
-    """Vectorized Levenshtein <= d mask: one DP whose rows are numpy
-    ops across every candidate at once (after a length-band prefilter),
-    O(len(token) * maxlen) numpy ops regardless of candidate count."""
+def _lev_eds(cands: list[str], token: str, d: int) -> np.ndarray:
+    """Vectorized per-candidate Levenshtein distances: one DP whose
+    rows are numpy ops across every candidate at once (after a
+    length-band prefilter), O(len(token) * maxlen) numpy ops regardless
+    of candidate count. Out-of-band candidates report d + 1."""
     n = len(cands)
-    out = np.zeros(n, dtype=bool)
+    out = np.full(n, d + 1, dtype=np.int64)
     lens = np.fromiter((len(t) for t in cands), dtype=np.int64,
                        count=n)
     band = np.abs(lens - len(token)) <= d
@@ -311,9 +313,24 @@ def _lev_mask(cands: list[str], token: str, d: int) -> np.ndarray:
             cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
                                               cur[:, j - 1] + 1), sub)
         prev = cur
-    ed = prev[np.arange(idx.size), sub_lens]
-    out[idx] = ed <= d
+    out[idx] = prev[np.arange(idx.size), sub_lens]
     return out
+
+
+def _lev_mask(cands: list[str], token: str, d: int) -> np.ndarray:
+    """Levenshtein <= d membership mask (see _lev_eds)."""
+    return _lev_eds(cands, token, d) <= d
+
+
+def _lev_scalar(a: str, b: str) -> int:
+    """Exact Levenshtein distance for one pair (tiny DP)."""
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
 
 
 def _regex_literal_prefix(pat: str) -> str:
@@ -794,11 +811,12 @@ class IndexReader:
             lambda ts: _lev_mask(ts, token, d), None, cap,
             prefilter=prefilter)
 
-    def _fuzzy_sidecar_lookup(self, token: str, d: int,
-                              cap: int | None) -> list[str] | None:
-        """ed<=d candidates via the deletion sidecar; None when the
-        sidecar is absent or built with a smaller max_d (fall back to
-        the scan)."""
+    def _sidecar_candidate_pairs(self, token: str,
+                                 d: int) -> list | None:
+        """Raw (term, df) candidates whose depth-d deletion neighborhood
+        intersects the token's — a row-group-pruned sidecar read; None
+        when the sidecar is absent or built with a smaller max_d.
+        Candidates are NOT yet distance-verified."""
         path = os.path.join(self.path, "fuzzy_deletes")
         if not os.path.isdir(path):
             return None
@@ -817,9 +835,18 @@ class IndexReader:
         tbl = ds.dataset(path, format="parquet").to_table(
             columns=["term", "df"],
             filter=ds.field("variant").isin(qvars))
-        cand = sorted({(t, int(f)) for t, f in
+        return sorted({(t, int(f)) for t, f in
                        zip(tbl["term"].to_pylist(),
                            tbl["df"].to_pylist())})
+
+    def _fuzzy_sidecar_lookup(self, token: str, d: int,
+                              cap: int | None) -> list[str] | None:
+        """ed<=d expansion via the deletion sidecar; None when the
+        sidecar is absent or built with a smaller max_d (fall back to
+        the scan)."""
+        cand = self._sidecar_candidate_pairs(token, d)
+        if cand is None:
+            return None
         ok_terms, ok_dfs = [], []
         for t, f in cand:
             # DP-verify: neighborhoods can intersect past ed d (ab/ba)
@@ -827,6 +854,105 @@ class IndexReader:
                 ok_terms.append(t)
                 ok_dfs.append(f)
         return self._cap_expansion(ok_terms, ok_dfs, cap)
+
+    def suggest_terms(self, token: str, d: int = 2,
+                      k: int = 3) -> list[tuple[str, int, int]]:
+        """Spelling suggestions for one token: dictionary terms within
+        Levenshtein `d`, ranked (edit distance asc, df desc, term asc)
+        — the web-spell candidate ranking analog (reference:
+        crates/web-spell/src/: an error model over a term-frequency LM;
+        here the rank is discrete — closest edit first, then corpus
+        popularity — so it is deterministic and oracle-reproducible).
+        Returns [(term, ed, df)], the exact token itself excluded.
+
+        Scale: same ladder as fuzzy_terms — sidecar row-group lookup
+        when available, streaming driver scan below
+        vocab_scan_threshold, distributed term-stats scan above it."""
+        ranked: list[tuple[int, int, str]] = []
+        side = self._sidecar_candidate_pairs(token, d)
+        if side is not None:
+            for t, f in side:
+                if t == token:
+                    continue
+                ed = _lev_scalar(token, t)
+                if ed <= d:
+                    ranked.append((ed, -f, t))
+        else:
+            import pyarrow.dataset as ds
+
+            dset = ds.dataset(self._term_stats_path, format="parquet")
+            if dset.count_rows() > self.vocab_scan_threshold:
+                from pyspark.sql import functions as F
+
+                df = (self.spark.read.parquet(self._term_stats_path)
+                      .select("term", "df")
+                      .filter(~F.col("term").contains(":"))
+                      .filter(F.length("term").between(
+                          len(token) - d, len(token) + d)))
+
+                def match(batches):
+                    import pyarrow as pa
+
+                    for b in batches:
+                        if b.num_rows == 0:
+                            continue
+                        terms = b["term"].to_pylist()
+                        eds = _lev_eds(terms, token, d)
+                        m = eds <= d
+                        if m.any():
+                            dfv = b["df"].to_numpy(
+                                zero_copy_only=False).astype(np.int64)
+                            yield pa.record_batch(
+                                [pa.array([t for t, kp in
+                                           zip(terms, m) if kp]),
+                                 pa.array(dfv[m]), pa.array(eds[m])],
+                                names=["term", "df", "ed"])
+
+                rows = (df.mapInArrow(
+                            match,
+                            schema="term string, df long, ed long")
+                        .orderBy(F.asc("ed"), F.desc("df"),
+                                 F.asc("term"))
+                        .limit(k + 1).collect())
+                ranked = [(int(r["ed"]), -int(r["df"]), r["term"])
+                          for r in rows if r["term"] != token]
+            else:
+                scanner = dset.scanner(columns=["term", "df"])
+                for batch in scanner.to_batches():
+                    if batch.num_rows == 0:
+                        continue
+                    terms = batch["term"].to_pylist()
+                    dfv = batch["df"].to_numpy(zero_copy_only=False)
+                    eds = _lev_eds(terms, token, d)
+                    for t, f, e in zip(terms, dfv, eds):
+                        if e <= d and t != token and ":" not in t:
+                            ranked.append((int(e), -int(f), t))
+                    ranked = sorted(ranked)[:max(k, 50)]
+        ranked.sort()
+        return [(t, ed, -nf) for ed, nf, t in ranked[:k]]
+
+    def suggest(self, query: str, d: int = 2
+                ) -> tuple[str, dict[str, list[tuple[str, int, int]]]]:
+        """Did-you-mean over a whole query (the reference's spell
+        correction surface, crates/web-spell wired into the API
+        searcher, crates/core/src/searcher/api/mod.rs): each term token
+        absent from the dictionary is replaced by its top suggestion.
+        Returns (corrected_query, {token: suggestions}) — the corrected
+        string equals the input when every token is known."""
+        from ..tokenizer import tokenize
+
+        toks = tokenize(query)
+        dfs = self.term_dfs(toks)
+        out_toks: list[str] = []
+        sugg: dict[str, list] = {}
+        for t in toks:
+            if dfs.get(t, 0) > 0:
+                out_toks.append(t)
+                continue
+            s = self.suggest_terms(t, d=d, k=3)
+            sugg[t] = s
+            out_toks.append(s[0][0] if s else t)
+        return " ".join(out_toks), sugg
 
     @staticmethod
     def _prune_dead_alts(compounds: dict, dfs: dict[str, int]) -> dict:
@@ -1803,6 +1929,49 @@ class IndexReader:
                 .mapInArrow(run_arrow, schema="n long")
                 .agg(F.sum("n").alias("n")).collect())
         return int(rows[0]["n"] or 0)
+
+    def more_like_this(self, doc_id: int, max_terms: int = 10,
+                       k: int = TOP_K_DEFAULT, dtype=np.float64):
+        """Find documents similar to `doc_id` — the tantivy
+        MoreLikeThisQuery analog (crates/tantivy/src/query/
+        more_like_this/mod.rs: per-field term extraction from the
+        stored doc, tf*idf-scored term selection, rewritten to a
+        BooleanQuery of Should term clauses):
+
+        1. fetch the doc's text from the row store (pruned point read),
+        2. rank its terms by tf * ln(1 + (N - df + 0.5)/(df + 0.5))
+           (weight desc, term asc) and keep the top `max_terms`,
+        3. run the scored disjunction (occur='should') of those terms.
+
+        The source doc itself matches (top hit by construction) —
+        filter it from the result if undesired. Oracle:
+        oracle_sql.mlt_sql computes the identical f64 selection and
+        BM25 should-score in SQL."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from ..tokenizer import tokenize
+
+        text_col = self.stats.get("text_col", "text")
+        rows = (self._read_turns()
+                .filter(F.col("doc_id") == int(doc_id))
+                .select(text_col).collect())
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in the row store")
+        tf = Counter(tokenize(rows[0][0]))
+        dfs = self.term_dfs(list(tf))
+        n = np.float64(self.num_docs)
+        ranked = sorted(
+            ((-np.float64(tf[t]) * np.log(
+                np.float64(1.0)
+                + (n - np.float64(dfs[t]) + np.float64(0.5))
+                / (np.float64(dfs[t]) + np.float64(0.5))), t)
+             for t in tf),
+            key=lambda x: (x[0], x[1]))
+        sel = [t for _, t in ranked[:max_terms]]
+        pq = ParsedQuery([Clause("term", (t,)) for t in sel])
+        return self.search(pq, k=k, dtype=dtype, occur="should")
 
     # ------------------------------------------------------------------
     # generic point queries (reference: crates/core/src/generic_query/)

@@ -53,12 +53,17 @@ def test_media_table_and_image_features(spark):
     # features come from REAL decoded pixels: recompute locally
     payloads = {r["media_id"]: bytes(r["payload"]) for r in
                 media.filter("kind = 'image'").collect()}
+    from cuely_spark.ops.jpeg import decode_jpeg
     from cuely_spark.ops.multimodal import decode_png
 
     for r in rows:
         payload = payloads[r["media_id"]]
-        img = (decode_png(payload) if payload[:4] == b"\x89PNG"
-               else decode_bmp(payload))
+        if payload[:4] == b"\x89PNG":
+            img = decode_png(payload)
+        elif payload[:3] == b"\xff\xd8\xff":
+            img = decode_jpeg(payload)
+        else:
+            img = decode_bmp(payload)
         np.testing.assert_allclose(
             [r["mean_r"], r["mean_g"], r["mean_b"]],
             img.reshape(-1, 3).mean(axis=0))
