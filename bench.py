@@ -116,6 +116,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
     qs = entry.queries()
     for name in ["ft_topk20", "ft_and_all", "ft_phrase_all",
                  "ft_bm25f", "ft_optic",
+                 "ft_range", "ft_suggest", "ft_mlt",
                  "knn_topk", "dedup_simhash", "text_quality"]:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (includes doc index build)
@@ -157,6 +158,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
             "n_turns": n_big,
             "build_sec": round(big_build, 2),
             "build_turns_per_sec": round(n_big / big_build, 1),
+            "build_phase_sec": rb.stats.get("phase_sec"),
             "num_segments": nseg_big,
             "query_p50": round(statistics.median(
                 sorted(big_q.values())), 4),
@@ -167,11 +169,22 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
 
     p50 = statistics.median(sorted(queries.values()))
     all_queries = {**queries, **doc_queries}
+    # key ORDER matters downstream: the driver records only the TAIL of
+    # this line when it is long, so bulky diagnostics (index_stats,
+    # sf1_equiv) go FIRST and the per-query medians go LAST — a
+    # truncated record then still carries the numbers the next round's
+    # regression column needs (r04/r03 lost theirs the other way
+    # around). segment_offsets/phase_sec are dropped from the echo for
+    # the same reason (1.5 KB of offsets is not a benchmark result).
+    slim_stats = {k: v for k, v in r.stats.items()
+                  if k not in ("segment_offsets", "phase_sec")}
     out = {
         "metric": "bm25_query_p50",
-        "value": round(p50, 4),
-        "unit": "sec",
-        "queries": all_queries,
+        "index_stats": slim_stats,
+    }
+    if big_out is not None:
+        out["sf1_equiv"] = big_out
+    out.update({
         "sf": sf_of(sf_dir),
         "cores": cores,
         "task_cpus": task_cpus,
@@ -180,11 +193,61 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
         "build_sec": round(build_sec, 2),
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "regression_vs_prev": _regression_vs_prev(all_queries),
-        "index_stats": r.stats,
-    }
-    if big_out is not None:
-        out["sf1_equiv"] = big_out
+        "value": round(p50, 4),
+        "unit": "sec",
+        "queries": all_queries,
+    })
     spark.stop()
+    return out
+
+
+def _query_name_pat():
+    import re
+
+    return re.compile(
+        r'"((?:q\d+_|ft_|knn_|dedup_|text_|pipeline_|batch_)'
+        r'[A-Za-z0-9_]*)":\s*([0-9.]+)')
+
+
+def _recover_queries(files: list[str], idx: int) -> dict:
+    """Absolute per-query medians recorded by files[idx], recovering
+    driver-truncated records. A truncated tail comes in two shapes:
+    (a) it still contains the '"regression_vs_prev"' marker — the part
+    before it holds (some) absolute medians, the part after holds that
+    round's ratio column vs the previous file (absolutes for missing
+    names = previous file's absolutes x ratio, recursively recovered);
+    (b) it starts INSIDE the ratio dict (marker truncated away) — no
+    absolutes survived at all, the leading fragment up to
+    '"index_stats"' IS the ratio column. Big-rep latencies under
+    '"sf1_equiv"' are excluded in both shapes (different corpus)."""
+    if idx < 0:
+        return {}
+    try:
+        with open(files[idx]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    q = prev.get("queries")
+    if q:
+        return dict(q)
+    if not isinstance(prev.get("tail"), str):
+        return {}
+    pat = _query_name_pat()
+    head, sep, rest = prev["tail"].partition('"regression_vs_prev"')
+    if not sep and '"index_stats"' in head:
+        rest = head.partition('"index_stats"')[0]  # shape (b): ratios
+        head = ""
+    head = head.partition('"sf1_equiv"')[0]
+    rest = rest.partition('"index_stats"')[0].partition('"sf1_equiv"')[0]
+    out = {m.group(1): float(m.group(2)) for m in pat.finditer(head)}
+    if rest:
+        prevq = _recover_queries(files, idx - 1)
+        for m in pat.finditer(rest):
+            name, rr = m.group(1), float(m.group(2))
+            if name not in out and name in prevq:
+                out[name] = round(prevq[name] * rr, 4)
     return out
 
 
@@ -199,46 +262,7 @@ def _regression_vs_prev(queries: dict[str, float]) -> dict:
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not files:
         return {}
-    try:
-        with open(files[-1]) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return {}
-    # the driver wraps bench stdout: the bench dict lives under "parsed"
-    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-        prev = prev["parsed"]
-    old_queries = prev.get("queries") or {}
-    if not old_queries and isinstance(prev.get("tail"), str):
-        # driver failed to parse stdout (parsed: null) but kept a
-        # truncated tail — recover per-query medians by name
-        import re
-
-        pat = re.compile(
-            r'"((?:q\d+_|ft_|knn_|dedup_|text_|pipeline_|batch_)'
-            r'[A-Za-z0-9_]*)":\s*([0-9.]+)')
-        # only the queries section — the tail also contains the prior
-        # round's own regression ratios, which are NOT latencies
-        head, _, rest = prev["tail"].partition('"regression_vs_prev"')
-        old_queries = {m.group(1): float(m.group(2))
-                       for m in pat.finditer(head)}
-        # names truncated out of the tail's queries section can be
-        # reconstructed as (round-before value) x (prior round's own
-        # ratio column) when a full earlier BENCH file exists
-        if rest and len(files) >= 2:
-            try:
-                with open(files[-2]) as f:
-                    pp = json.load(f)
-                if "queries" not in pp and isinstance(pp.get("parsed"),
-                                                     dict):
-                    pp = pp["parsed"]
-                ppq = pp.get("queries") or {}
-                ratios_prior = {m.group(1): float(m.group(2))
-                                for m in pat.finditer(rest)}
-                for name, rr in ratios_prior.items():
-                    if name not in old_queries and name in ppq:
-                        old_queries[name] = round(ppq[name] * rr, 4)
-            except (OSError, json.JSONDecodeError):
-                pass
+    old_queries = _recover_queries(files, len(files) - 1)
     ratios = {}
     for name, sec in queries.items():
         old = old_queries.get(name)
