@@ -167,3 +167,33 @@ def test_range_on_merged_index(spark, docs_pdf, tmp_path_factory):
                r1.search(q, k=r1.num_docs, dtype=np.float64).collect())
     assert a == b and a
     assert r0.count(q) == r1.count(q) == len(a)
+
+
+def test_range_fuzz_vs_brute_force(rreader, docs_pdf):
+    """Randomized bounds: membership always equals (unfiltered hits ∩
+    pandas range rows), scores always unchanged — across open/closed/
+    empty/degenerate ranges."""
+    rng = np.random.default_rng(23)
+    base = {r["doc_id"]: r["score"] for r in
+            rreader.search("merge", k=rreader.num_docs,
+                           dtype=np.float64).collect()}
+    for _ in range(8):
+        lo, hi = sorted(int(x) for x in rng.integers(10, 80, size=2))
+        form = rng.choice(["both", "lo", "hi", "excl"])
+        if form == "both":
+            q, mask = (f"merge n_chars:{lo}..{hi}",
+                       (docs_pdf.n_chars >= lo) & (docs_pdf.n_chars <= hi))
+        elif form == "lo":
+            q, mask = f"merge n_chars:>={lo}", docs_pdf.n_chars >= lo
+        elif form == "hi":
+            q, mask = f"merge n_chars:<{hi}", docs_pdf.n_chars < hi
+        else:
+            q, mask = f"merge n_chars:>{lo}", docs_pdf.n_chars > lo
+        got = {r["doc_id"]: r["score"] for r in
+               rreader.search(q, k=rreader.num_docs,
+                              dtype=np.float64).collect()}
+        want_ids = set(base) & set(docs_pdf[mask].doc_id)
+        assert set(got) == want_ids, q
+        for d in got:
+            assert got[d] == base[d], q
+        assert rreader.count(q) == len(want_ids), q
