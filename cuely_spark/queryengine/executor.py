@@ -253,22 +253,34 @@ def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
     return fn
 
 
-def _lev_within(a: str, b: str, d: int) -> bool:
+def _lev_within(a: str, b: str, d: int,
+                transpose: bool = False) -> bool:
     """Exact ed <= d check (full DP with an early-out row minimum —
-    strings here are tokens, so the table is tiny)."""
-    if d <= 1:
+    strings here are tokens, so the table is tiny). transpose=True
+    uses OSA distance (adjacent transposition costs 1)."""
+    if d <= 1 and not transpose:
         return _levenshtein1(a, b)
     if abs(len(a) - len(b)) > d:
         return False
-    dp = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, cb in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                     prev + (ca != cb))
-        if min(dp) > d:
-            return False
-    return dp[-1] <= d
+    return _osa_scalar(a, b, transpose=transpose) <= d
+
+
+def _osa_scalar(a: str, b: str, transpose: bool = True) -> int:
+    """Scalar edit distance; OSA when transpose, else Levenshtein."""
+    la, lb = len(a), len(b)
+    rows = [list(range(lb + 1))]
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(rows[-1][j] + 1, cur[j - 1] + 1,
+                         rows[-1][j - 1] + (a[i - 1] != b[j - 1]))
+            if (transpose and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], rows[-2][j - 2] + 1)
+        rows.append(cur)
+        if len(rows) > 2:
+            rows.pop(0)
+    return rows[-1][lb]
 
 
 def _deletes_upto(token: str, d: int) -> list[str]:
@@ -284,11 +296,19 @@ def _deletes_upto(token: str, d: int) -> list[str]:
     return sorted(out)
 
 
-def _lev_eds(cands: list[str], token: str, d: int) -> np.ndarray:
-    """Vectorized per-candidate Levenshtein distances: one DP whose
-    rows are numpy ops across every candidate at once (after a
-    length-band prefilter), O(len(token) * maxlen) numpy ops regardless
-    of candidate count. Out-of-band candidates report d + 1."""
+def _lev_eds(cands: list[str], token: str, d: int,
+             transpose: bool = False) -> np.ndarray:
+    """Vectorized per-candidate edit distances: one DP whose rows are
+    numpy ops across every candidate at once (after a length-band
+    prefilter), O(len(token) * maxlen) numpy ops regardless of
+    candidate count. Out-of-band candidates report d + 1.
+
+    transpose=True computes OSA (restricted Damerau-Levenshtein:
+    adjacent transposition costs 1) — the Lucene/tantivy
+    `transposition_cost_one` semantics. NOTE this is NOT DuckDB's
+    damerau_levenshtein (unrestricted DL: 'ca'->'abc' is 2 there, 3
+    under OSA), which is why transposition fuzzy has a pytest brute
+    oracle instead of a driver gate."""
     n = len(cands)
     out = np.full(n, d + 1, dtype=np.int64)
     lens = np.fromiter((len(t) for t in cands), dtype=np.int64,
@@ -303,7 +323,9 @@ def _lev_eds(cands: list[str], token: str, d: int) -> np.ndarray:
     for r, i in enumerate(idx):
         t = cands[i]
         mat[r, : len(t)] = [ord(c) for c in t]
+    prev2 = None
     prev = np.tile(np.arange(lmax + 1, dtype=np.int64), (idx.size, 1))
+    tprev = 0
     for i, ch in enumerate(token, start=1):
         tc = ord(ch)
         cur = np.empty_like(prev)
@@ -312,14 +334,21 @@ def _lev_eds(cands: list[str], token: str, d: int) -> np.ndarray:
             sub = prev[:, j - 1] + (mat[:, j - 1] != tc)
             cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
                                               cur[:, j - 1] + 1), sub)
-        prev = cur
+            if transpose and i > 1 and j > 1:
+                # OSA: token[i-1]==cand[j-2] and token[i-2]==cand[j-1]
+                cond = (mat[:, j - 2] == tc) & (mat[:, j - 1] == tprev)
+                np.minimum(cur[:, j],
+                           np.where(cond, prev2[:, j - 2] + 1,
+                                    cur[:, j]), out=cur[:, j])
+        prev2, prev, tprev = prev, cur, tc
     out[idx] = prev[np.arange(idx.size), sub_lens]
     return out
 
 
-def _lev_mask(cands: list[str], token: str, d: int) -> np.ndarray:
-    """Levenshtein <= d membership mask (see _lev_eds)."""
-    return _lev_eds(cands, token, d) <= d
+def _lev_mask(cands: list[str], token: str, d: int,
+              transpose: bool = False) -> np.ndarray:
+    """edit distance <= d membership mask (see _lev_eds)."""
+    return _lev_eds(cands, token, d, transpose=transpose) <= d
 
 
 def _lev_scalar(a: str, b: str) -> int:
@@ -525,7 +554,8 @@ class IndexReader:
                            compound_terms: bool | None = None,
                            stemmed: bool | None = None,
                            occur: str = "must",
-                           lang: str | None = None):
+                           lang: str | None = None,
+                           fuzzy_transpositions: bool = False):
         """(compounds, c_terms): clause-index -> alternative shadow terms
         (bigram/trigram compounds per plan/mod.rs sliding windows, plus
         the "s:"+english_stem (Porter2) shadow when the index is stemmed).
@@ -602,7 +632,8 @@ class IndexReader:
                 raise ValueError(
                     "fuzzy/prefix/regex terms require occur='must'")
             if c.fuzzy:
-                exp = self.fuzzy_terms(c.tokens[0], c.fuzzy)
+                exp = self.fuzzy_terms(c.tokens[0], c.fuzzy,
+                                       transpose=fuzzy_transpositions)
             elif c.prefix:
                 exp = self.prefix_terms(c.tokens[0])
             else:
@@ -781,7 +812,8 @@ class IndexReader:
                                    term_stats_path=self._term_stats_path)
 
     def fuzzy_terms(self, token: str, d: int,
-                    cap: int | None = None) -> list[str]:
+                    cap: int | None = None,
+                    transpose: bool = False) -> list[str]:
         """Dictionary terms within Levenshtein distance `d` of `token`,
         ordered (df desc, term asc), capped at `max_fuzzy_expansions`
         (Lucene's default) — the tantivy FuzzyTermQuery expansion
@@ -796,8 +828,15 @@ class IndexReader:
         vocabularies take a driver-local streaming scan with a length
         band + ONE vectorized DP across each batch; (3) huge
         vocabularies without a sidecar fan the same matcher out over
-        executors, returning only the top-cap."""
-        side = self._fuzzy_sidecar_lookup(token, d, cap)
+        executors, returning only the top-cap.
+
+        transpose=True uses OSA distance (adjacent transposition costs
+        1 — Lucene/tantivy transposition_cost_one; Elasticsearch's
+        fuzzy_transpositions). Pytest-oracled only: DuckDB's
+        damerau_levenshtein is the UNRESTRICTED distance, which
+        disagrees with OSA on corner cases like ca->abc."""
+        side = self._fuzzy_sidecar_lookup(token, d, cap,
+                                          transpose=transpose)
         if side is not None:
             return side
 
@@ -808,8 +847,8 @@ class IndexReader:
                 len(token) - d, len(token) + d))
 
         return self._scan_expansion(
-            lambda ts: _lev_mask(ts, token, d), None, cap,
-            prefilter=prefilter)
+            lambda ts: _lev_mask(ts, token, d, transpose=transpose),
+            None, cap, prefilter=prefilter)
 
     def _sidecar_candidate_pairs(self, token: str,
                                  d: int) -> list | None:
@@ -840,17 +879,22 @@ class IndexReader:
                            tbl["df"].to_pylist())})
 
     def _fuzzy_sidecar_lookup(self, token: str, d: int,
-                              cap: int | None) -> list[str] | None:
+                              cap: int | None,
+                              transpose: bool = False
+                              ) -> list[str] | None:
         """ed<=d expansion via the deletion sidecar; None when the
         sidecar is absent or built with a smaller max_d (fall back to
-        the scan)."""
+        the scan). The deletion-neighborhood guarantee holds for OSA
+        too (each OSA op consumes <= 1 deletion per side, incl. a
+        transposition: delete one swapped char from each side), so the
+        same candidates are just verified with the requested metric."""
         cand = self._sidecar_candidate_pairs(token, d)
         if cand is None:
             return None
         ok_terms, ok_dfs = [], []
         for t, f in cand:
             # DP-verify: neighborhoods can intersect past ed d (ab/ba)
-            if _lev_within(token, t, d):
+            if _lev_within(token, t, d, transpose=transpose):
                 ok_terms.append(t)
                 ok_dfs.append(f)
         return self._cap_expansion(ok_terms, ok_dfs, cap)
@@ -1031,7 +1075,8 @@ class IndexReader:
                compound_terms: bool | None = None,
                stemmed: bool | None = None,
                lang: str | None = None,
-               optic: list | None = None):
+               optic: list | None = None,
+               fuzzy_transpositions: bool = False):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -1113,7 +1158,8 @@ class IndexReader:
         else:
             rng_ctx = None
         compounds, c_terms = self._plan_alternatives(
-            pq, compound_terms, stemmed, occur, lang=lang)
+            pq, compound_terms, stemmed, occur, lang=lang,
+            fuzzy_transpositions=fuzzy_transpositions)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms + rule_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)
@@ -1479,8 +1525,9 @@ class IndexReader:
             if isinstance(v, dict):
                 return (v["q"], v.get("should"), int(v.get("offset", 0)),
                         bool(v.get("bm25f")), v.get("field_coeffs"),
-                        v.get("lang"), v.get("optic"))
-            return (v, None, 0, False, None, None, None)
+                        v.get("lang"), v.get("optic"),
+                        bool(v.get("fuzzy_transpositions")))
+            return (v, None, 0, False, None, None, None, False)
 
         extra_fields = list(self.stats.get("field_cols") or [])
         primary = self.stats.get("text_col", "text")
@@ -1496,7 +1543,7 @@ class IndexReader:
         ranges_by: dict = {}
         union_terms: set[str] = set()
         for name, v in queries.items():
-            q, sh, off, is_f, coeffs, qlang, qoptic = _spec(v)
+            q, sh, off, is_f, coeffs, qlang, qoptic, qfzt = _spec(v)
             if qoptic is not None:
                 from .optic import Optic, compile_rules
 
@@ -1556,7 +1603,8 @@ class IndexReader:
             else:
                 compounds_by[name], cterms_by[name] = \
                     self._plan_alternatives(pq, compound_terms, stemmed,
-                                            lang=qlang)
+                                            lang=qlang,
+                                            fuzzy_transpositions=qfzt)
                 bm25f_by[name] = None
             shoulds[name] = spq
         from .optic import (all_matcher_terms, rules_need_doclen,
@@ -1749,7 +1797,8 @@ class IndexReader:
                      should: str | ParsedQuery | None = None,
                      compound_terms: bool | None = None,
                      stemmed: bool | None = None,
-                     lang: str | None = None):
+                     lang: str | None = None,
+                     fuzzy_transpositions: bool = False):
         """Driver-local execution: pyarrow-pruned posting read + the
         SAME numpy segment kernel and merge order as the distributed
         path — no Spark job. Returns (doc_ids, scores) numpy arrays.
@@ -1778,7 +1827,8 @@ class IndexReader:
                 raise ValueError("range filters require occur='must'")
             self._validate_range_cols(range_specs)
         compounds, c_terms = self._plan_alternatives(
-            pq, compound_terms, stemmed, occur, lang=lang)
+            pq, compound_terms, stemmed, occur, lang=lang,
+            fuzzy_transpositions=fuzzy_transpositions)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)

@@ -329,3 +329,62 @@ def test_distributed_expansion_matches_driver_scan(spark, tmp_path):
     assert stub2.fuzzy_terms("bx10", 1) == driver_fz
     assert stub2.regex_terms("bx1(0|1).") == driver_rx
     assert len(driver_pre) == 50 and driver_fz and driver_rx
+
+
+def test_fuzzy_transpositions_osa(reader):
+    """transpose=True = OSA (adjacent transposition costs 1, the
+    Lucene/tantivy transposition_cost_one semantics) — pytest-oracled
+    against a brute OSA because DuckDB's damerau_levenshtein is the
+    UNRESTRICTED distance (ca->abc = 2 there, 3 under OSA)."""
+    from cuely_spark.queryengine.executor import _osa_scalar
+
+    # OSA vs unrestricted-DL corner pin
+    assert _osa_scalar("ca", "abc") == 3
+    assert _osa_scalar("ab", "ba") == 1
+
+    # 'tset' is a transposition of 'test': d=1 reachable only with OSA
+    plain = reader.fuzzy_terms("tset", 1)
+    osa = reader.fuzzy_terms("tset", 1, transpose=True)
+    assert "test" not in plain and "test" in osa
+
+    # brute-force OSA oracle over the dictionary
+    terms = [t for t in reader.prefix_terms("", cap=10**6)
+             if ":" not in t]
+    for tok, d in (("tset", 1), ("websiet", 2), ("hte", 1)):
+        dfs = reader.term_dfs(terms)
+        want = sorted(
+            ((t for t in terms if _osa_scalar(tok, t) <= d)),
+            key=lambda t: (-dfs[t], t))[:50]
+        assert reader.fuzzy_terms(tok, d, transpose=True) == want, tok
+
+
+def test_fuzzy_transpositions_paths_agree(reader):
+    import os
+    import shutil
+
+    toks = [("tset", 1), ("websiet", 2)]
+    side = os.path.join(reader.path, "fuzzy_deletes")
+    shutil.rmtree(side, ignore_errors=True)
+    base = {t: reader.fuzzy_terms(t, d, transpose=True)
+            for t, d in toks}
+    try:
+        reader.build_fuzzy_sidecar(max_d=2)
+        for t, d in toks:
+            assert reader.fuzzy_terms(t, d, transpose=True) == base[t]
+    finally:
+        shutil.rmtree(side, ignore_errors=True)
+    old = reader.vocab_scan_threshold
+    reader.vocab_scan_threshold = 1
+    try:
+        for t, d in toks:
+            assert reader.fuzzy_terms(t, d, transpose=True) == base[t]
+    finally:
+        reader.vocab_scan_threshold = old
+
+    # end-to-end: the search kwarg routes the expansion
+    d_plain, _ = reader.search_collect("tset~1", k=reader.num_docs)
+    dl, _ = reader.search_local("tset~1", k=reader.num_docs,
+                                fuzzy_transpositions=True)
+    d_exact, _ = reader.search_collect("test", k=reader.num_docs)
+    assert set(d_exact.tolist()) <= set(dl.tolist())
+    assert not set(d_exact.tolist()) <= set(d_plain.tolist())
