@@ -205,7 +205,12 @@ class LiveIndexWriter:
 
     def _stat_flags(self) -> dict:
         return {"ngram_max": self.ngram_max, "stemmed": self.stem,
-                "stem_lang_col": self.stem_lang_col}
+                "stem_lang_col": self.stem_lang_col,
+                # same version stamp as bulk builds: the query side
+                # must stem with the algorithm that wrote the s: terms
+                "stemmer_version": ("porter2"
+                                    if (self.stem or self.stem_lang_col)
+                                    else None)}
 
     def _incremental_stats(self, batch_segs: list[int]) -> None:
         """Fold one batch's term/global stats into the index-level stats
@@ -247,9 +252,7 @@ class LiveIndexWriter:
                                   / float(stats["num_docs"]))
         stats["store_positions"] = True
         stats["live"] = True
-        stats["ngram_max"] = self.ngram_max
-        stats["stemmed"] = self.stem
-        stats["stem_lang_col"] = self.stem_lang_col
+        stats.update(self._stat_flags())
         fsio.write_json(paths.stats, stats)
 
     def sink(self):
@@ -280,11 +283,16 @@ class LiveIndexWriter:
         return dropped
 
     def compact(self, out_root: str, target_segments: int = 1,
-                hot_df_threshold: int = 500_000) -> IndexPaths:
+                hot_df_threshold: int = 500_000,
+                fuzzy_sidecar: bool = True) -> IndexPaths:
         """Merge all live micro-segments into a compact index
-        (reference: hourly compaction, live_index/index.rs:170-246)."""
+        (reference: hourly compaction, live_index/index.rs:170-246).
+        Live micro-segments never carry a fuzzy sidecar (per-batch
+        rebuilds would dominate ingest), so compaction is where the
+        compact index gains one — default on, like bulk builds."""
         from ..indexer.merge import merge_segments
 
         return merge_segments(self.spark, self.paths.root, out_root,
                               target_segments=target_segments,
-                              hot_df_threshold=hot_df_threshold)
+                              hot_df_threshold=hot_df_threshold,
+                              fuzzy_sidecar=fuzzy_sidecar)
