@@ -858,7 +858,7 @@ def ivf_knn_sql(dim: int = 64, ncells: int = 8, nprobe: int = 3,
     for t in range(iters):
         its.append(f"""
 cn{t} AS (SELECT cell, sqrt(sum(w*w)) AS nc FROM cents{t} GROUP BY cell),
-sim{t} AS (
+sim{t} AS MATERIALIZED (
   SELECT u.vec_id, c.cell, sum(u.v * c.w) AS dot
   FROM unn u JOIN samp s USING (vec_id) JOIN cents{t} c USING (j)
   GROUP BY 1, 2
@@ -876,7 +876,7 @@ upd{t} AS (
   FROM asg{t} a JOIN unn u USING (vec_id)
   GROUP BY 1, 2
 ),
-cents{t + 1} AS (
+cents{t + 1} AS MATERIALIZED (
   SELECT c.cell, c.j, coalesce(up.w, c.w) AS w
   FROM cents{t} c LEFT JOIN upd{t} up ON up.cell = c.cell AND up.j = c.j
 )""")
@@ -891,7 +891,7 @@ ranked AS (
 ),
 samp AS (SELECT vec_id FROM ranked WHERE rnk < {sample_cap}),
 ns AS (SELECT count(*)::BIGINT AS n FROM samp),
-cents0 AS (
+cents0 AS MATERIALIZED (
   SELECT ci.i AS cell, u.j, u.v AS w
   FROM range({ncells}) ci(i)
   CROSS JOIN ns
@@ -899,7 +899,7 @@ cents0 AS (
   JOIN unn u ON u.vec_id = r.vec_id
 ),{",".join(its)},
 fin_cn AS (SELECT cell, sqrt(sum(w*w)) AS nc FROM cents{n} GROUP BY cell),
-fin_sim AS (
+fin_sim AS MATERIALIZED (
   SELECT u.vec_id, c.cell, sum(u.v * c.w) AS dot
   FROM unn u JOIN cents{n} c USING (j)
   GROUP BY 1, 2
