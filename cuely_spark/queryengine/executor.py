@@ -507,11 +507,16 @@ class IndexReader:
 
     def _validate_range_cols(self, specs: list) -> None:
         """Driver-side schema check so a bad range column fails with a
-        clear error instead of a task-side stack."""
-        import pyarrow.dataset as ds
+        clear error instead of a task-side stack. The row-store schema
+        is cached per reader: dataset discovery lists every turns file,
+        which is driver-side O(files) — pay it once, not per query."""
+        names = getattr(self, "_turns_schema_cache", None)
+        if names is None:
+            import pyarrow.dataset as ds
 
-        names = ds.dataset(self._turns_path, format="parquet",
-                           partitioning="hive").schema.names
+            names = ds.dataset(self._turns_path, format="parquet",
+                               partitioning="hive").schema.names
+            self._turns_schema_cache = names
         for col, *_ in specs:
             if col not in names:
                 raise ValueError(

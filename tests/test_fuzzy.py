@@ -388,3 +388,41 @@ def test_fuzzy_transpositions_paths_agree(reader):
     d_exact, _ = reader.search_collect("test", k=reader.num_docs)
     assert set(d_exact.tolist()) <= set(dl.tolist())
     assert not set(d_exact.tolist()) <= set(d_plain.tolist())
+
+
+def test_osa_property_vs_reference_dp():
+    """Hypothesis: _osa_scalar and the vectorized _lev_eds agree with a
+    textbook OSA reference on random short strings (and the plain
+    Levenshtein path with the transposition row disabled)."""
+    from functools import lru_cache
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cuely_spark.queryengine.executor import _lev_eds, _osa_scalar
+
+    def ref_osa(a, b):
+        @lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return max(i, j)
+            best = min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                best = min(best, d(i - 2, j - 2) + 1)
+            return best
+        return d(len(a), len(b))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcd", max_size=7),
+           st.text(alphabet="abcd", max_size=7))
+    def check(a, b):
+        want = ref_osa(a, b)
+        assert _osa_scalar(a, b) == want
+        assert _osa_scalar(a, b, transpose=False) >= want
+        d = max(len(a), len(b)) + 1
+        eds = _lev_eds([b], a, d, transpose=True)
+        assert eds[0] == want
+
+    check()
