@@ -1511,8 +1511,9 @@ class IndexReader:
         build in the reference, crates/core/src/query/mod.rs:77-154).
         Specs may carry "lang" to route language-aware stemming per
         query and "optic" (a Rule list or an Optic) applied with the
-        same semantics as search(optic=). NOT in batch mode: explicit
-        max_docs_per_segment — use search() for that.
+        same semantics as search(optic=), and "max_docs" (the
+        per-segment ShortCircuit cap, search()'s
+        max_docs_per_segment).
 
         A bm25f query scores with search_bm25f semantics (union-df IDF,
         per-field fieldnorms, coefficient inside the saturation) and
@@ -1531,8 +1532,9 @@ class IndexReader:
                 return (v["q"], v.get("should"), int(v.get("offset", 0)),
                         bool(v.get("bm25f")), v.get("field_coeffs"),
                         v.get("lang"), v.get("optic"),
-                        bool(v.get("fuzzy_transpositions")))
-            return (v, None, 0, False, None, None, None, False)
+                        bool(v.get("fuzzy_transpositions")),
+                        v.get("max_docs"))
+            return (v, None, 0, False, None, None, None, False, None)
 
         extra_fields = list(self.stats.get("field_cols") or [])
         primary = self.stats.get("text_col", "text")
@@ -1546,9 +1548,13 @@ class IndexReader:
         compounds_by, cterms_by, bm25f_by = {}, {}, {}
         optic_by: dict = {}
         ranges_by: dict = {}
+        max_docs_by: dict = {}
         union_terms: set[str] = set()
         for name, v in queries.items():
-            q, sh, off, is_f, coeffs, qlang, qoptic, qfzt = _spec(v)
+            (q, sh, off, is_f, coeffs, qlang, qoptic, qfzt,
+             qmax) = _spec(v)
+            max_docs_by[name] = (int(qmax) if qmax is not None
+                                 else None)
             if qoptic is not None:
                 from .optic import Optic, compile_rules
 
@@ -1732,13 +1738,11 @@ class IndexReader:
                                 else [seg])
                         rfns = [_range_lookup(troot, dirs, rspecs,
                                               offs)]
-                    docs, scores = segment_topk(specs, negs,
-                                                seg_k[name],
-                                                dtype=dtype,
-                                                should_specs=sspecs,
-                                                boost_specs=bspecs,
-                                                require_any=req,
-                                                range_fns=rfns)
+                    docs, scores = segment_topk(
+                        specs, negs, seg_k[name], dtype=dtype,
+                        max_docs=max_docs_by[name],
+                        should_specs=sspecs, boost_specs=bspecs,
+                        require_any=req, range_fns=rfns)
                     if docs.size:
                         names_out.extend([name] * docs.size)
                         docs_out.append(docs.astype(np.int64))

@@ -35,3 +35,21 @@ def test_search_many_rank_identity(reader, oracle_small):
             np.array([g[2] for g in got]), os_.astype(np.float64),
             rtol=1e-6)
     assert "absent" not in by_q
+
+
+def test_batch_max_docs_matches_search(reader):
+    """Per-query ShortCircuit cap in batch mode == search()'s
+    max_docs_per_segment."""
+    q = "the"
+    rows = reader.search(q, k=25, max_docs_per_segment=7).collect()
+    res = reader.search_many(
+        {"capped": {"q": q, "max_docs": 7}, "plain": q},
+        k=25).collect()
+    got = sorted((r["rank"], r["doc_id"]) for r in res
+                 if r["query"] == "capped")
+    want = [(i + 1, r["doc_id"]) for i, r in enumerate(rows)]
+    assert got == want
+    plain = [r for r in res if r["query"] == "plain"]
+    uncapped = reader.search(q, k=25).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in plain) == \
+        [(i + 1, r["doc_id"]) for i, r in enumerate(uncapped)]
