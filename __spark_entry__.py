@@ -48,6 +48,11 @@ FT_QUERIES = {
     # (the tantivy fast-field RangeQuery analog)
     "ft_range": ("merge n_chars:150..350", None),
     "ft_range_open": ("merge table n_chars:>300", None),
+    # `^N` boosts scale the clause weight (tantivy BoostQuery /
+    # Bm25Weight::boost_by — score and WAND bounds scale together)
+    "ft_boost": ('merge^2 "scan merge"^0.5 table', None),
+    # one-of term set, const score 1.0 (tantivy TermSetQuery)
+    "ft_termset": ("merge|window table", None),
     "ft_not_all": ("merge -window", None),
     "ft_topk20": ("key order sort", 20),
     "ft_filter_lang_all": ("merge table lang:de", None),
@@ -122,6 +127,35 @@ def _ensure_ngram_index(spark: SparkSession, sf_dir: str) -> str:
         build_index(spark, docs, out, text_col="text",
                     doc_id_col="doc_id", rows_per_segment=2500,
                     num_jobs=1, ngram_max=3)
+    return out
+
+
+#: derived sparse attribute for the ExistsQuery gate: documents has no
+#: empty-able column, so the engine derives one deterministically from
+#: doc_id and the oracle mirrors the same CASE expression in SQL.
+_TOOL_SQL = ("CASE WHEN ex.doc_id % 3 = 0 THEN '' "
+             "ELSE 't' || CAST(ex.doc_id % 2 AS VARCHAR) END")
+
+
+def _ensure_exists_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with a derived `tool` attribute column that is empty for
+    every third doc — the ExistsQuery (`tool:*` / `-tool:*`) target."""
+    from cuely_spark.indexer import build_index
+
+    key = hashlib.md5(
+        f"exists-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+        docs = docs.withColumn(
+            "tool",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("t"),
+                         (F.col("doc_id") % 2).cast("string"))))
+        build_index(spark, docs, out, text_col="text",
+                    doc_id_col="doc_id", rows_per_segment=2500,
+                    num_jobs=1, attr_cols=("tool", "lang"))
     return out
 
 
@@ -223,13 +257,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _ft_search(q: str, k, occur: str = "must"):
+def _ft_search(q: str, k, occur: str = "must", **kw):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         r = _reader(spark, sf_dir)
         eff_k = k if k is not None else r.num_docs
-        res = r.search(q, k=eff_k, dtype=np.float64, occur=occur)
+        res = r.search(q, k=eff_k, dtype=np.float64, occur=occur, **kw)
         return res.select("doc_id", F.round(F.col("score"), 4)
                           .alias("score"))
     return run
@@ -266,6 +300,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (q, k) in FT_QUERIES.items():
         out[name] = _ft_search(q, k)
     out["ft_or_topk"] = _ft_search("merge window dup", 25, occur="should")
+    # DisjunctionMax combiner: max + tie x (sum - max) (tantivy
+    # DisjunctionMaxQuery, score_combiner.rs:82-115)
+    out["ft_dismax"] = _ft_search("merge window dup", None,
+                                  occur="dismax", tie_breaker=0.3)
+    # pure match-all (`*`): membership from the ROW STORE (tantivy
+    # AllQuery) composed with a range filter and a negation
+    out["ft_matchall"] = _ft_search("* n_chars:150..350 -window", None)
+    # ConstScoreQuery: wrapped membership (phrase + term), fixed score
+    out["ft_const_score"] = _ft_search('"scan merge" table', None,
+                                       const_score=3.0)
+
+    def ft_exists(spark, sf_dir):
+        """ExistsQuery over a derived sparse attribute: `tool:*` keeps
+        docs whose tool attribute is set; `-tool:*` inverts (batch path
+        carries both through one job)."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_exists_index(spark, sf_dir))
+        res = r.search_many({"ex": "merge tool:*",
+                             "exn": "merge -tool:*"},
+                            k=r.num_docs, dtype=np.float64)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_exists"] = ft_exists
 
     def ft_mixed_occur(spark, sf_dir):
         """Occur composition: Must 'merge' gates membership; Should
@@ -705,7 +765,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ft_prefix", "ft_mixed_occur", "ft_batch_bm25f",
             "ft_count_approx", "ft_term_stats", "ft_doc_stats",
             "ft_get_doc", "ft_top_key_phrases", "dedup_exact",
-            "dedup_minhash_lsh", "knn_scores_all", "text_token_stats"]
+            "dedup_minhash_lsh", "knn_scores_all", "text_token_stats",
+            # six more demotions to make head room for the round-5
+            # query-type gates (ft_boost/ft_termset/ft_dismax/
+            # ft_matchall/ft_const_score/ft_exists) — each r04-green
+            # and pinned by a surviving head gate or pytest:
+            # ft_regex (expansion ladder: ft_fuzzy_typo head +
+            # test_fuzzy oracle parity), ft_snippets (pytest
+            # test_snippet_shortcircuit), ft_optic (ft_optic_dnm +
+            # ft_optic_pattern stay head), ft_sorted_search
+            # (test_merge + ft_merged_search), ft_blend (ft_signals
+            # head + blend pytest), events_windowed
+            # (events_sessionized stays head)
+            "ft_regex", "ft_snippets", "ft_optic", "ft_sorted_search",
+            "ft_blend", "events_windowed"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -729,6 +802,20 @@ def oracle_sql() -> dict[str, str]:
         out[name] = bm25_search_sql(q, k=k)
     out["ft_or_topk"] = bm25_search_sql("merge window dup", k=25,
                                         occur="should")
+    out["ft_dismax"] = bm25_search_sql("merge window dup", k=None,
+                                       occur="dismax", tie=0.3)
+    from cuely_spark.oracle_sql import match_all_sql
+
+    out["ft_matchall"] = match_all_sql("* n_chars:150..350 -window",
+                                       k=None)
+    out["ft_const_score"] = bm25_search_sql('"scan merge" table',
+                                            k=None, const_score=3.0)
+    out["ft_exists"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, doc_id, score FROM ("
+        + bm25_search_sql(q, k=None,
+                          attr_exprs={"tool": _TOOL_SQL}) + ")"
+        for name, q in [("ex", "merge tool:*"),
+                        ("exn", "merge -tool:*")])
     out["ft_mixed_occur"] = bm25_search_sql(
         "merge", k=None, should='table "batch batch"')
     out["ft_topk_offset"] = bm25_search_sql("key order sort", k=10,

@@ -51,6 +51,18 @@ class Bm25Weight:
         self.cache = (d(K1) * (d(1.0) - d(B) +
                                d(B) * fieldnorms / d(avg_fieldnorm))).astype(d)
 
+    def boost_by(self, boost: float) -> "Bm25Weight":
+        """Copy with the idf weight scaled by `boost` — the tantivy
+        BoostQuery mechanism (crates/tantivy/src/query/bm25.rs
+        `Bm25Weight::boost_by`: boost multiplies `weight`, so score AND
+        the WAND max_score/block bounds scale together and pruning
+        stays exact)."""
+        import copy
+
+        w = copy.copy(self)
+        w.weight = self.dtype(self.weight * self.dtype(boost))
+        return w
+
     def tf_factor(self, fieldnorm_ids: np.ndarray, tfs: np.ndarray) -> np.ndarray:
         """Vectorized tf_factor over arrays of (fieldnorm_id, tf)."""
         d = self.dtype

@@ -164,6 +164,24 @@ def _range_cond(c, table: str, id_col: str, doc_expr: str) -> str:
             f"AND {' AND '.join(conds)})")
 
 
+def _exists_cond(c, table: str, id_col: str, doc_expr: str,
+                 attr_exprs: dict[str, str] | None = None) -> str:
+    """SQL for an ExistsQuery clause (`field:*` / `-field:*`): the
+    attribute column (or a caller-provided derivation expression, for
+    indexes whose attr column is computed from the source table) is
+    non-null AND non-empty; `neg` inverts."""
+    col = c.tokens[0]
+    # each EXISTS has its own scope, so a fixed alias `ex` is safe;
+    # attr_exprs values reference source columns as `ex.<col>`
+    expr = (attr_exprs or {}).get(col, f"ex.{col}")
+    cond = (f"{expr} IS NOT NULL AND "
+            f"CAST({expr} AS VARCHAR) <> ''")
+    if c.neg:
+        cond = f"NOT ({cond})"
+    return (f"EXISTS (SELECT 1 FROM {table} ex "
+            f"WHERE ex.{id_col} = {doc_expr} AND {cond})")
+
+
 def _ngram_tok_cte(ngram_max: int) -> str:
     """`ntok`: text tokens plus 'b:'/'t:' compound shadow tokens (lead()
     windows over the positional stream, never crossing docs)."""
@@ -192,10 +210,22 @@ def bm25_search_sql(query: str, k: int | None = 20,
                     id_col: str = "doc_id", occur: str = "must",
                     should: str | None = None, offset: int = 0,
                     ngram_max: int = 0,
-                    round_to: int | None = 4) -> str:
+                    round_to: int | None = 4,
+                    tie: float | None = None,
+                    const_score: float | None = None,
+                    attr_exprs: dict[str, str] | None = None) -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
     k=None returns ALL matching docs (no LIMIT).
     occur="should" scores the disjunction (term clauses only).
+    occur="dismax" scores it with the DisjunctionMax combiner:
+    max matching clause + `tie` × (sum − max).
+    const_score: fixed score for every matching doc (ConstScoreQuery).
+    attr_exprs: for exists clauses (`field:*`) over DERIVED attribute
+    columns — maps column name to a SQL expression over the source
+    table (alias the source as `ex`, e.g. "CASE WHEN ex.doc_id % 3 =
+    0 THEN '' ELSE 'bash' END").
+    Clause `^N` boosts are applied as (idf × boost) × tf_factor —
+    the same association as the engine's Bm25Weight.boost_by.
     should: extra Should clauses — LEFT JOIN + COALESCE score terms on
     the Must candidate set (never gate membership).
     offset: SQL OFFSET (pagination).
@@ -203,9 +233,10 @@ def bm25_search_sql(query: str, k: int | None = 20,
     clause becomes (term OR compounds), membership by any member, score
     = sum of matching members (mirrors IndexReader.search compound_terms
     against an ngram_max index)."""
-    if occur == "should":
+    if occur in ("should", "dismax"):
         assert should is None and offset == 0
-        return _bm25_should_sql(query, k, table, text_col, id_col)
+        return _bm25_should_sql(query, k, table, text_col, id_col,
+                                tie=(tie if occur == "dismax" else None))
     pq: ParsedQuery = parse_query(query)
     compounds = compound_alternatives(pq, ngram_max)
     pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
@@ -257,8 +288,21 @@ dfs_all AS (
     joins = ["CROSS JOIN stats s"]
     score_terms = []
     exists_conds = []
+    def _bidf(idf_expr: str, boost: float) -> str:
+        """(idf × boost) — the engine's Bm25Weight.boost_by applies the
+        `^N` boost to the weight, so score and bounds scale together."""
+        return (idf_expr if boost == 1.0
+                else f"({idf_expr} * {boost!r})")
+
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
+        if c.kind in ("termset", "all"):
+            # flat 1.0 × boost: TermSetQuery's combiner ignores member
+            # scores (tantivy set_query.rs), AllQuery scores 1.0
+            score_terms.append(repr(float(c.boost)))
+            continue
+        if c.kind == "exists":
+            continue  # unscored; condition added below
         if (fcond := _expansion_cond(c)) is not None:
             if alts:
                 raise NotImplementedError(
@@ -276,7 +320,8 @@ dfs_all AS (
 ),
 fs{ci} AS (
   SELECT t.doc_id,
-         sum(ln(1 + (s.n - z.df + 0.5) / (z.df + 0.5))
+         sum({_bidf('ln(1 + (s.n - z.df + 0.5) / (z.df + 0.5))',
+                    c.boost)}
              * (t.tf * 2.2) / (t.tf + 1.2 *
                 (1 - 0.75 + 0.75 * q.fnq / s.avgfn))) AS sc
   FROM tf_all t JOIN fz{ci} z USING (term)
@@ -295,7 +340,8 @@ fs{ci} AS (
                     f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
                     f"AND {a}.term = {_q(m)}")
                 member_scores.append(
-                    f"COALESCE({_idf(m)} * {_tf_factor(f'{a}.tf')}, 0.0)")
+                    f"COALESCE({_bidf(_idf(m), c.boost)} * "
+                    f"{_tf_factor(f'{a}.tf')}, 0.0)")
             score_terms.append("(" + " + ".join(member_scores) + ")")
         elif c.kind == "term":
             a = f"t{ci}"
@@ -303,7 +349,8 @@ fs{ci} AS (
                 f"JOIN tf {a} ON {a}.doc_id = cand.doc_id "
                 f"AND {a}.term = {_q(c.tokens[0])}")
             score_terms.append(
-                f"{_idf(c.tokens[0])} * {_tf_factor(f'{a}.tf')}")
+                f"{_bidf(_idf(c.tokens[0]), c.boost)} * "
+                f"{_tf_factor(f'{a}.tf')}")
         elif c.kind in ("filter", "range"):
             pass  # unscored; condition added below
         else:
@@ -317,7 +364,9 @@ fs{ci} AS (
                 idf_sum = " + ".join(_idf(t) for t in c.tokens)
             a = f"p{ci}"
             joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
-            score_terms.append(f"({idf_sum}) * {_tf_factor(f'{a}.tf')}")
+            score_terms.append(
+                f"{_bidf(f'({idf_sum})', c.boost)} * "
+                f"{_tf_factor(f'{a}.tf')}")
     if spq is not None:
         for ci, c in enumerate(spq.positive):
             if c.kind == "filter":
@@ -345,6 +394,18 @@ fs{ci} AS (
     # candidate set: all positive clauses matched, no negative group fully
     for ci, c in enumerate(pq.positive):
         alts = compounds.get(pos_idx[ci], []) if c.kind == "term" else []
+        if c.kind == "all":
+            continue  # matches every doc — no condition
+        if c.kind == "termset":
+            any_m = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
+                f"AND tf.term = {_q(m)})" for m in c.tokens)
+            exists_conds.append(f"({any_m})")
+            continue
+        if c.kind == "exists":
+            exists_conds.append(_exists_cond(c, table, id_col,
+                                             "cand.doc_id", attr_exprs))
+            continue
         if _expansion_cond(c) is not None:
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM fs{ci} "
@@ -378,8 +439,13 @@ fs{ci} AS (
         exists_conds.append(f"NOT ({inner})")
 
     raw_score = ' + '.join(score_terms)
+    if const_score is not None:
+        # ConstScoreQuery: membership above, score a constant
+        raw_score = repr(float(const_score))
     score_expr = (f"round({raw_score}, {round_to})"
                   if round_to is not None else f"({raw_score})")
+    if not exists_conds:
+        exists_conds = ["TRUE"]  # `*`-only positives (match-all)
     sql = f"""WITH {', '.join(ctes)},
 cand AS (
   SELECT cand.doc_id, cand.fnq FROM dlq cand
@@ -397,9 +463,15 @@ ORDER BY score DESC, doc_id ASC"""
 
 
 def _bm25_should_sql(query: str, k: int | None, table: str,
-                     text_col: str, id_col: str) -> str:
+                     text_col: str, id_col: str,
+                     tie: float | None = None) -> str:
     """Scored disjunction: docs matching ANY term clause; score = sum of
-    matching contributions (LEFT JOIN + COALESCE per clause)."""
+    matching contributions (LEFT JOIN + COALESCE per clause).
+    tie: DisjunctionMax combiner (tantivy DisjunctionMaxQuery,
+    score_combiner.rs:82-115) — score = max matching clause +
+    tie × (sum − max). Contributions are non-negative, so greatest()
+    over the COALESCE'd per-clause scores equals the max over matching
+    clauses only."""
     pq = parse_query(query)
     assert all(c.kind == "term" for c in pq.positive)
     all_terms = sorted({c.tokens[0] for c in pq.positive}
@@ -423,8 +495,10 @@ dfs AS (
         joins.append(
             f"LEFT JOIN tf {a} ON {a}.doc_id = cand.doc_id "
             f"AND {a}.term = {_q(t)}")
+        idf = (_idf(t) if c.boost == 1.0
+               else f"({_idf(t)} * {c.boost!r})")
         score_terms.append(
-            f"COALESCE({_idf(t)} * {_tf_factor(f'{a}.tf')}, 0.0)")
+            f"COALESCE({idf} * {_tf_factor(f'{a}.tf')}, 0.0)")
         any_conds.append(
             f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
             f"AND tf.term = {_q(t)})")
@@ -437,13 +511,19 @@ dfs AS (
     where = f"({' OR '.join(any_conds)})"
     if neg_conds:
         where += " AND " + " AND ".join(neg_conds)
+    sum_expr = ' + '.join(score_terms)
+    if tie is not None and len(score_terms) > 1:
+        gmax = f"greatest({', '.join(score_terms)})"
+        raw = f"{gmax} + {tie!r} * (({sum_expr}) - {gmax})"
+    else:
+        raw = sum_expr
     sql = f"""WITH {', '.join(ctes)},
 cand AS (
   SELECT cand.doc_id, cand.fnq FROM dlq cand
   WHERE {where}
 )
 SELECT cand.doc_id AS doc_id,
-       round({' + '.join(score_terms)}, 4) AS score
+       round({raw}, 4) AS score
 FROM cand {' '.join(joins)}
 ORDER BY score DESC, doc_id ASC"""
     if k is not None:
@@ -680,7 +760,8 @@ ORDER BY token, ed, df DESC, suggestion"""
 
 
 def count_sql(query: str, table: str = "documents",
-              text_col: str = "text", id_col: str = "doc_id") -> str:
+              text_col: str = "text", id_col: str = "doc_id",
+              attr_exprs: dict[str, str] | None = None) -> str:
     """Exact match count of a query: single row (n)."""
     pq = parse_query(query)
     ctes = [base_ctes(table, text_col, id_col)]
@@ -690,6 +771,16 @@ def count_sql(query: str, table: str = "documents",
             conds.append(
                 f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
                 f"AND tok.term = {_q(c.tokens[0])})")
+        elif c.kind == "termset":
+            any_m = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
+                f"AND tok.term = {_q(m)})" for m in c.tokens)
+            conds.append(f"({any_m})")
+        elif c.kind == "all":
+            pass  # matches every doc
+        elif c.kind == "exists":
+            conds.append(_exists_cond(c, table, id_col, "dl.doc_id",
+                                      attr_exprs))
         elif c.kind == "filter":
             conds.append(_filter_cond(c.tokens[0], table, id_col,
                                       "dl.doc_id"))
@@ -708,7 +799,51 @@ def count_sql(query: str, table: str = "documents",
         conds.append(f"NOT ({inner})")
     return (f"WITH {', '.join(ctes)} "
             f"SELECT count(*)::BIGINT AS n FROM dl "
-            f"WHERE {' AND '.join(conds)}")
+            f"WHERE {' AND '.join(conds) if conds else 'TRUE'}")
+
+
+def match_all_sql(query: str, k: int | None = None,
+                  table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id", offset: int = 0,
+                  const_score: float | None = None,
+                  attr_exprs: dict[str, str] | None = None) -> str:
+    """(doc_id, score) for queries with no posting-backed positive
+    clause (`*`, `* n_chars:>100`, `* -tool:* -error`) — the engine's
+    `_search_all` row-store path (tantivy AllQuery): every doc passing
+    the range/exists filters and no negated group matches; score =
+    Σ boosts of the `*` clauses (or const_score)."""
+    pq = parse_query(query)
+    if any(c.kind in ("term", "phrase", "filter", "termset")
+           for c in pq.positive):
+        raise ValueError("match_all_sql is for pure match-all queries; "
+                         "use bm25_search_sql")
+    score = (const_score if const_score is not None
+             else sum(c.boost for c in pq.positive if c.kind == "all"))
+    ctes = [base_ctes(table, text_col, id_col)]
+    conds = []
+    for c in pq.positive:
+        if c.kind == "range":
+            conds.append(_range_cond(c, table, id_col, "dl.doc_id"))
+        elif c.kind == "exists":
+            conds.append(_exists_cond(c, table, id_col, "dl.doc_id",
+                                      attr_exprs))
+    for c in pq.negative:
+        inner = " AND ".join(
+            _filter_cond(t, table, id_col, "dl.doc_id")
+            if ":" in t else
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = dl.doc_id "
+            f"AND tok.term = {_q(t)})" for t in c.tokens)
+        conds.append(f"NOT ({inner})")
+    sql = (f"WITH {', '.join(ctes)} "
+           f"SELECT dl.doc_id AS doc_id, "
+           f"round({float(score)!r}, 4) AS score FROM dl "
+           f"WHERE {' AND '.join(conds) if conds else 'TRUE'} "
+           f"ORDER BY score DESC, doc_id ASC")
+    if k is not None:
+        sql += f" LIMIT {k}"
+    if offset:
+        sql += f" OFFSET {offset}"
+    return sql
 
 
 def term_stats_sql(table: str = "documents", text_col: str = "text",

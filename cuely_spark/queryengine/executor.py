@@ -74,26 +74,42 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
     augmentation plan shape."""
     empty_tp = TermPostings([], [], [], [], [], [])
     pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
+
+    def _bw(w, c):
+        """Per-clause `^N` boost: tantivy Bm25Weight::boost_by — a
+        boosted copy so the shared per-term weight stays unscaled."""
+        return w if c.boost == 1.0 else w.boost_by(c.boost)
+
     specs = []
     for j, c in enumerate(pq.positive):
-        if c.kind == "range":
-            continue  # handled as a kernel range_fn, not a posting spec
+        if c.kind in ("range", "exists"):
+            continue  # handled as kernel range_fns, not posting specs
+        if c.kind == "all":
+            specs.append(("all", None, c.boost))
+            continue
+        if c.kind == "termset":
+            members = [(by_term.get(t, empty_tp), None)
+                       for t in c.tokens]
+            specs.append(("termset", members, c.boost))
+            continue
         if c.kind == "term":
             t = c.tokens[0]
             alts = (compounds or {}).get(pos_idx[j])
             if isinstance(alts, Expansion):
                 # member set IS the expansion — no implicit base member
-                members = [(by_term.get(a, empty_tp), weights[a])
+                members = [(by_term.get(a, empty_tp), _bw(weights[a], c))
                            for a in alts]
                 specs.append(("or", members, None))
             elif alts:
-                members = [(by_term.get(t, empty_tp), weights[t])]
-                members += [(by_term.get(a, empty_tp), weights[a])
+                members = [(by_term.get(t, empty_tp),
+                            _bw(weights[t], c))]
+                members += [(by_term.get(a, empty_tp),
+                             _bw(weights[a], c))
                             for a in alts]
                 specs.append(("or", members, None))
             else:
                 specs.append(("term", by_term.get(t, empty_tp),
-                              weights[t]))
+                              _bw(weights[t], c)))
         elif c.kind == "filter":
             specs.append(("filter", by_term.get(c.tokens[0], empty_tp),
                           None))
@@ -106,14 +122,14 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
             fixed = [by_term.get(t, empty_tp) for t in c.tokens[:-1]]
             exps = [by_term.get(t, empty_tp) for t in exp]
             specs.append(("pphrase", (fixed, exps),
-                          weights[("phrase", c.tokens, c.slop,
-                                   True)]))
+                          _bw(weights[("phrase", c.tokens, c.slop,
+                                       True)], c)))
         else:
             tps = PhraseTps([by_term.get(t, empty_tp) for t in c.tokens],
                             slop=c.slop)
             specs.append(("phrase", tps,
-                          weights[("phrase", c.tokens, c.slop,
-                                   False)]))
+                          _bw(weights[("phrase", c.tokens, c.slop,
+                                       False)], c)))
     negs = [[by_term.get(t, empty_tp) for t in c.tokens]
             for c in pq.negative]
     return specs, negs
@@ -199,8 +215,41 @@ def _typed_range_spec(c) -> tuple:
     return (col, conv(c.lo), conv(c.hi), c.lo_inc, c.hi_inc)
 
 
+def _arrow_row_filter(schema_names, range_specs: list,
+                      exists_specs: list | None):
+    """Shared pyarrow dataset filter for range + exists specs (pushed
+    into the parquet scan: row-group min/max pruning for ranges,
+    null-count stats for exists)."""
+    import pyarrow.dataset as ds
+
+    flt = None
+    for col, lo, hi, lo_inc, hi_inc in range_specs:
+        if col not in schema_names:
+            raise ValueError(
+                f"range column {col!r} not in the row store "
+                f"(has: {schema_names})")
+        if lo is not None:
+            e = ds.field(col) >= lo if lo_inc else ds.field(col) > lo
+            flt = e if flt is None else flt & e
+        if hi is not None:
+            e = ds.field(col) <= hi if hi_inc else ds.field(col) < hi
+            flt = e if flt is None else flt & e
+    for col, neg in (exists_specs or []):
+        if col not in schema_names:
+            raise ValueError(
+                f"exists column {col!r} not in the row store "
+                f"(has: {schema_names})")
+        if neg:
+            e = ds.field(col).is_null() | (ds.field(col) == "")
+        else:
+            e = ds.field(col).is_valid() & (ds.field(col) != "")
+        flt = e if flt is None else flt & e
+    return flt
+
+
 def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
-                  offsets: dict | None):
+                  offsets: dict | None,
+                  exists_specs: list | None = None):
     """cand -> bool mask of docs whose row-store attributes satisfy ALL
     range filters — an executor-local columnar read of THIS segment's
     row-store partition(s) with the range predicate pushed into the
@@ -209,7 +258,12 @@ def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
     column; here the hive-partitioned turns table, so the read is
     pruned to segment_id=N and to the row-groups whose column min/max
     stats intersect the range). Read once per (segment, query) task;
-    membership for candidates via searchsorted."""
+    membership for candidates via searchsorted.
+
+    exists_specs: [(col, neg), ...] — ExistsQuery filters (tantivy
+    crates/tantivy/src/query/exist_query/): keep docs whose attribute
+    column is non-null AND non-empty (neg=True inverts, the `-field:*`
+    form). Same pushed-down scan."""
     cache: dict = {}
 
     def fn(cand):
@@ -220,20 +274,8 @@ def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
             for sd in seg_dirs:
                 p = os.path.join(turns_path, f"segment_id={sd}")
                 dset = ds.dataset(p, format="parquet")
-                flt = None
-                for col, lo, hi, lo_inc, hi_inc in specs:
-                    if col not in dset.schema.names:
-                        raise ValueError(
-                            f"range column {col!r} not in the row "
-                            f"store (has: {dset.schema.names})")
-                    if lo is not None:
-                        e = (ds.field(col) >= lo if lo_inc
-                             else ds.field(col) > lo)
-                        flt = e if flt is None else flt & e
-                    if hi is not None:
-                        e = (ds.field(col) <= hi if hi_inc
-                             else ds.field(col) < hi)
-                        flt = e if flt is None else flt & e
+                flt = _arrow_row_filter(dset.schema.names, specs,
+                                        exists_specs)
                 idcol = ("doc_id" if "doc_id" in dset.schema.names
                          else "__ord")
                 tbl = dset.to_table(columns=[idcol], filter=flt)
@@ -1030,8 +1072,13 @@ class IndexReader:
         pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
         for j, c in enumerate(pq.positive):
             alts = compounds.get(pos_idx[j], [])
-            if c.kind == "range":
+            if c.kind in ("range", "exists", "all"):
                 continue  # liveness is data-dependent, not df-derivable
+            if c.kind == "termset":
+                # one-of: live while ANY member exists somewhere
+                if all(dfs[t] == 0 for t in c.tokens):
+                    return True
+                continue
             if c.kind == "term" and isinstance(alts, Expansion):
                 # expansion clause: live iff >= 1 expansion member is
                 # (the base term is NOT an implicit member)
@@ -1081,13 +1128,23 @@ class IndexReader:
                stemmed: bool | None = None,
                lang: str | None = None,
                optic: list | None = None,
-               fuzzy_transpositions: bool = False):
+               fuzzy_transpositions: bool = False,
+               tie_breaker: float = 0.0,
+               const_score: float | None = None):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
         (the reference's default, query/plan/mod.rs:299).
         occur="should": scored disjunction via multi-scorer block-max
         WAND (term clauses only).
+        occur="dismax": disjunction scored with the DisjunctionMax
+        combiner — max matching clause + tie_breaker × (sum − max)
+        (tantivy DisjunctionMaxQuery, disjunction_max_query.rs +
+        score_combiner.rs:82-115). Same union membership as "should".
+        const_score: fixed score for every matching doc (tantivy
+        ConstScoreQuery) — ranking degenerates to doc_id asc;
+        membership (phrases, filters, ranges, negations) unchanged.
+        occur="must" only.
         should: extra Should clauses on top of the Must query — they add
         BM25 score on docs already matching `query` but never gate
         membership (Occur composition, boolean_weight.rs:107-184; an
@@ -1154,24 +1211,41 @@ class IndexReader:
         s_terms = spq.all_terms() if spq is not None else []
         range_specs = [_typed_range_spec(c) for c in pq.positive
                        if c.kind == "range"]
-        if range_specs:
-            if occur == "should":
-                raise ValueError("range filters require occur='must'")
-            self._validate_range_cols(range_specs)
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        union = occur in ("should", "dismax")
+        if occur == "dismax" and not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("dismax tie_breaker must be in [0, 1]")
+        if const_score is not None and union:
+            raise ValueError("const_score requires occur='must'")
+        if range_specs or exists_specs:
+            if union:
+                raise ValueError(
+                    "range/exists filters require occur='must'")
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
             rng_ctx = (self._turns_path, self._seg_sources(),
                        self._offsets)
         else:
             rng_ctx = None
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            # no posting-backed membership clause: pure match-all
+            # (`* n_chars:>100`, `* -tool:*`, ...) — row-store path
+            return self._search_all(
+                pq, k=k, offset=offset, with_meta=with_meta,
+                range_specs=range_specs, exists_specs=exists_specs,
+                const_score=const_score)
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang,
             fuzzy_transpositions=fuzzy_transpositions)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + s_terms + c_terms + rule_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)
-        if occur == "should":
+        if union:
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
-                    "occur='should' supports plain term clauses only")
+                    f"occur={occur!r} supports plain term clauses only")
             if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
                 return self._empty_result()
         elif self._dead_clause(pq, compounds, dfs):
@@ -1199,10 +1273,11 @@ class IndexReader:
         def eval_by_term(by_term: dict, seg: int):
             specs, negs = _make_specs(pq, weights, by_term, dtype,
                                       compounds=compounds)
-            if occur == "should":
+            if union:
                 term_specs = [(tp, w) for kind, tp, w in specs]
-                return union_topk(term_specs, seg_k, dtype=dtype,
-                                  mustnot_groups=negs)
+                return union_topk(
+                    term_specs, seg_k, dtype=dtype, mustnot_groups=negs,
+                    tie=(tie_breaker if occur == "dismax" else None))
             sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                       if spq is not None else None)
             empty_tp = TermPostings([], [], [], [], [], [])
@@ -1219,12 +1294,14 @@ class IndexReader:
             if rng_ctx is not None:
                 troot, ssrc, offs = rng_ctx
                 dirs = ssrc.get(seg, [seg]) if ssrc else [seg]
-                rfns = [_range_lookup(troot, dirs, range_specs, offs)]
+                rfns = [_range_lookup(troot, dirs, range_specs, offs,
+                                      exists_specs=exists_specs)]
             return segment_topk(
                 specs, negs, seg_k, dtype=dtype,
                 max_docs=max_docs_per_segment,
                 should_specs=sspecs, boost_specs=bspecs,
-                require_any=req, range_fns=rfns)
+                require_any=req, range_fns=rfns,
+                const_score=const_score)
 
         def run_arrow(batches):
             # arrow-native per-partition evaluation: ONE arrow table per
@@ -1267,6 +1344,15 @@ class IndexReader:
         else:
             shaped = postings.repartition(F.col("segment_id"))
         local = shaped.mapInArrow(run_arrow, schema=out_schema)
+        return self._topk_tail(local, k, offset, with_meta)
+
+    def _topk_tail(self, local, k: int, offset: int, with_meta: bool):
+        """Shared finish: global (score desc, doc_id asc) top-k over a
+        (doc_id, score, segment_id) DataFrame — TakeOrderedAndProject
+        with the offset folded in — plus the optional row-store meta
+        broadcast-join."""
+        from pyspark.sql import functions as F
+
         top = local.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -1289,6 +1375,168 @@ class IndexReader:
                             "doc_id", "left")
                    .orderBy(F.desc("score"), F.asc("doc_id")))
         return top.drop("segment_id")
+
+    def _all_candidates(self, range_specs: list, exists_specs: list,
+                        negative) -> "tuple":
+        """(cand DataFrame (doc_id, segment_id), const) for pure
+        match-all queries — the tantivy AllQuery path (all_query.rs):
+        membership comes from the ROW STORE, not postings.
+
+        Spark-native and scale-shaped: the range/exists predicates are
+        plain column filters pushed into the partitioned parquet scan
+        (PushedFilters in the plan), negations are left-anti joins
+        against the (exploded) posting lists of the negated terms —
+        no driver-side materialization anywhere."""
+        from pyspark.sql import functions as F
+
+        turns = self._read_turns()
+        cond = F.lit(True)
+        for col, lo, hi, lo_inc, hi_inc in range_specs:
+            if col not in turns.columns:
+                raise ValueError(
+                    f"range column {col!r} not in the row store")
+            if lo is not None:
+                cond = cond & ((F.col(col) >= F.lit(lo)) if lo_inc
+                               else (F.col(col) > F.lit(lo)))
+            if hi is not None:
+                cond = cond & ((F.col(col) <= F.lit(hi)) if hi_inc
+                               else (F.col(col) < F.lit(hi)))
+        for col, neg in exists_specs:
+            if col not in turns.columns:
+                raise ValueError(
+                    f"exists column {col!r} not in the row store")
+            e = F.col(col).isNotNull() & (F.col(col) != F.lit(""))
+            cond = cond & (~e if neg else e)
+        cand = turns.filter(cond).select("doc_id", "segment_id")
+        if self._segment_map:
+            # merged index: the row store keeps SOURCE segment ids —
+            # map to kernel ids so the meta join prunes correctly
+            m = self.spark.createDataFrame(
+                [(int(o), int(n))
+                 for o, n in self._segment_map.items()],
+                "segment_id long, __kseg long")
+            cand = (cand.join(F.broadcast(m), "segment_id")
+                    .drop("segment_id")
+                    .withColumnRenamed("__kseg", "segment_id"))
+        neg_terms = [t for c in negative for t in c.tokens]
+        if neg_terms:
+            docs = self._term_docs_df(neg_terms)
+            for c in negative:
+                grp = None
+                for t in c.tokens:
+                    dt = (docs.filter(F.col("term") == t)
+                          .select("doc_id"))
+                    grp = dt if grp is None else grp.join(dt, "doc_id")
+                if grp is not None:
+                    cand = cand.join(grp, "doc_id", "left_anti")
+        return cand
+
+    def _term_docs_df(self, terms: list[str]):
+        """(term, doc_id) DataFrame: decoded posting doc ids for the
+        given terms — a distributed decode of only those terms' blocks
+        (the postings scan is pruned by the term IN filter, so the
+        work is O(matching postings), never corpus-sized)."""
+        from pyspark.sql import functions as F
+
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(list(terms)))
+                    .select(*_POSTING_COLS))
+
+        def run(batches):
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            for _seg, by_term in _group_arrow_postings(tbl):
+                for t, tp in by_term.items():
+                    dd = tp.decode_blocks(np.arange(tp.nblocks))[0]
+                    yield pa.record_batch(
+                        [pa.array([t] * dd.size),
+                         pa.array(dd.astype(np.int64))],
+                        names=["term", "doc_id"])
+
+        return postings.repartition(F.col("segment_id")).mapInArrow(
+            run, schema="term string, doc_id long")
+
+    def _search_all(self, pq: ParsedQuery, k: int, offset: int,
+                    with_meta: bool, range_specs: list,
+                    exists_specs: list,
+                    const_score: float | None = None):
+        """search() for queries with no posting-backed positive clause
+        (`*`, `* n_chars:>100`, `* -tool:* -error`): every doc passing
+        the row-store filters matches; score = Σ boosts of the `*`
+        clauses (AllQuery scores 1.0 × boost) or const_score; ranking
+        ties break doc_id asc like everywhere else."""
+        from pyspark.sql import functions as F
+
+        score = (const_score if const_score is not None
+                 else sum(c.boost for c in pq.positive
+                          if c.kind == "all"))
+        cand = self._all_candidates(range_specs, exists_specs,
+                                    pq.negative)
+        local = cand.withColumn("score", F.lit(float(score)))
+        return self._topk_tail(local, k, offset, with_meta)
+
+    def _search_all_local(self, pq: ParsedQuery, k: int, dtype,
+                          offset: int, range_specs: list,
+                          exists_specs: list,
+                          const_score: float | None = None):
+        """Driver-local `_search_all`: one pyarrow read of the
+        hive-partitioned row store with the filters pushed down, same
+        (score desc = const, doc_id asc) ordering. Small-index path
+        only — the distributed :meth:`_search_all` is the scale path."""
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(self._turns_path, format="parquet",
+                          partitioning="hive")
+        flt = _arrow_row_filter(dset.schema.names, range_specs,
+                                exists_specs)
+        if "doc_id" in dset.schema.names:
+            tbl = dset.to_table(columns=["doc_id"], filter=flt)
+            ids = np.asarray(tbl["doc_id"].to_numpy(), dtype=np.int64)
+        else:
+            tbl = dset.to_table(columns=["__ord", "segment_id"],
+                                filter=flt)
+            segs = np.asarray(tbl["segment_id"].to_numpy(),
+                              dtype=np.int64)
+            offs = np.zeros(segs.max() + 1 if segs.size else 1,
+                            dtype=np.int64)
+            for s, o in self._offsets.items():
+                offs[int(s)] = int(o)
+            ids = (np.asarray(tbl["__ord"].to_numpy(), dtype=np.int64)
+                   + offs[segs])
+        neg_terms = [t for c in pq.negative for t in c.tokens]
+        if neg_terms and ids.size:
+            ptbl = self._local_postings(neg_terms, False)
+            excl_parts = []
+            for _seg, by_term in _group_arrow_postings(ptbl):
+                sub = None
+                for c in pq.negative:
+                    grp = None
+                    for t in c.tokens:
+                        tp = by_term.get(t)
+                        dd = (tp.decode_blocks(np.arange(tp.nblocks))[0]
+                              if tp is not None and tp.nblocks
+                              else np.empty(0, dtype=np.int64))
+                        grp = (dd if grp is None
+                               else np.intersect1d(grp, dd))
+                        if grp.size == 0:
+                            break
+                    if grp is not None and grp.size:
+                        sub = (grp if sub is None
+                               else np.union1d(sub, grp))
+                if sub is not None and sub.size:
+                    excl_parts.append(sub)
+            if excl_parts:
+                excl = np.unique(np.concatenate(excl_parts))
+                ids = ids[~np.isin(ids, excl)]
+        ids = np.sort(ids)[offset:offset + k]
+        score = (const_score if const_score is not None
+                 else sum(c.boost for c in pq.positive
+                          if c.kind == "all"))
+        return ids, np.full(ids.size, score, dtype=dtype)
 
     def signals(self, query: str | ParsedQuery, dtype=np.float64):
         """Per-doc text signals (doc_id, bm25, coverage, idf_sum) for
@@ -1548,6 +1796,7 @@ class IndexReader:
         compounds_by, cterms_by, bm25f_by = {}, {}, {}
         optic_by: dict = {}
         ranges_by: dict = {}
+        exists_by: dict = {}
         max_docs_by: dict = {}
         union_terms: set[str] = set()
         for name, v in queries.items():
@@ -1576,8 +1825,18 @@ class IndexReader:
             offsets[name] = off
             ranges_by[name] = [_typed_range_spec(c) for c in pq.positive
                                if c.kind == "range"]
-            if ranges_by[name]:
-                self._validate_range_cols(ranges_by[name])
+            exists_by[name] = [(c.tokens[0], c.neg) for c in pq.positive
+                               if c.kind == "exists"]
+            if ranges_by[name] or exists_by[name]:
+                self._validate_range_cols(
+                    ranges_by[name]
+                    + [(col,) for col, _ in exists_by[name]])
+            if not any(c.kind in ("term", "phrase", "filter", "termset")
+                       for c in pq.positive):
+                raise ValueError(
+                    f"batch query {name!r} has no posting-backed "
+                    "positive clause — run pure match-all queries "
+                    "through search()")
             spq = (parse_query(sh) if isinstance(sh, str) else sh) \
                 if sh is not None else None
             if spq is not None and spq.negative:
@@ -1589,7 +1848,8 @@ class IndexReader:
                                      "bm25f specs need a multi-field "
                                      "index")
                 if spq is not None or pq.negative or any(
-                        c.kind in ("phrase", "range")
+                        c.kind in ("phrase", "range", "exists",
+                                   "termset", "all")
                         for c in pq.clauses):
                     raise ValueError(
                         "batch bm25f specs take simple positive terms "
@@ -1682,7 +1942,8 @@ class IndexReader:
         idx_path = self.path
         rng_ctx = ((self._turns_path, self._seg_sources(),
                     self._offsets)
-                   if any(ranges_by.get(n) for n in live) else None)
+                   if any(ranges_by.get(n) or exists_by.get(n)
+                          for n in live) else None)
         live_terms = sorted(
             {t for name in live for t in parsed[name].all_terms()}
             | {t for name in live if shoulds[name] is not None
@@ -1732,12 +1993,14 @@ class IndexReader:
                                if req_matchers is not None else None)
                     rfns = None
                     rspecs = ranges_by.get(name)
-                    if rspecs and rng_ctx is not None:
+                    especs = exists_by.get(name)
+                    if (rspecs or especs) and rng_ctx is not None:
                         troot, ssrc, offs = rng_ctx
                         dirs = (ssrc.get(seg, [seg]) if ssrc
                                 else [seg])
-                        rfns = [_range_lookup(troot, dirs, rspecs,
-                                              offs)]
+                        rfns = [_range_lookup(troot, dirs,
+                                              rspecs or [], offs,
+                                              exists_specs=especs)]
                     docs, scores = segment_topk(
                         specs, negs, seg_k[name], dtype=dtype,
                         max_docs=max_docs_by[name],
@@ -1807,7 +2070,9 @@ class IndexReader:
                      compound_terms: bool | None = None,
                      stemmed: bool | None = None,
                      lang: str | None = None,
-                     fuzzy_transpositions: bool = False):
+                     fuzzy_transpositions: bool = False,
+                     tie_breaker: float = 0.0,
+                     const_score: float | None = None):
         """Driver-local execution: pyarrow-pruned posting read + the
         SAME numpy segment kernel and merge order as the distributed
         path — no Spark job. Returns (doc_ids, scores) numpy arrays.
@@ -1831,10 +2096,25 @@ class IndexReader:
         s_terms = spq.all_terms() if spq is not None else []
         range_specs = [_typed_range_spec(c) for c in pq.positive
                        if c.kind == "range"]
-        if range_specs:
-            if occur == "should":
-                raise ValueError("range filters require occur='must'")
-            self._validate_range_cols(range_specs)
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        union = occur in ("should", "dismax")
+        if occur == "dismax" and not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("dismax tie_breaker must be in [0, 1]")
+        if const_score is not None and union:
+            raise ValueError("const_score requires occur='must'")
+        if range_specs or exists_specs:
+            if union:
+                raise ValueError(
+                    "range/exists filters require occur='must'")
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            return self._search_all_local(
+                pq, k=k, dtype=dtype, offset=offset,
+                range_specs=range_specs, exists_specs=exists_specs,
+                const_score=const_score)
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang,
             fuzzy_transpositions=fuzzy_transpositions)
@@ -1842,10 +2122,10 @@ class IndexReader:
             pq.all_terms() + s_terms + c_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
-        if occur == "should":
+        if union:
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
-                    "occur='should' supports plain term clauses only")
+                    f"occur={occur!r} supports plain term clauses only")
             if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
                 return empty
         elif self._dead_clause(pq, compounds, dfs):
@@ -1867,25 +2147,27 @@ class IndexReader:
         for _seg, by_term in _group_arrow_postings(tbl):
             specs, negs = _make_specs(pq, weights, by_term, dtype,
                                       compounds=compounds)
-            if occur == "should":
+            if union:
                 term_specs = [(tp, w) for _kind, tp, w in specs]
-                docs, scores = union_topk(term_specs, seg_k,
-                                          dtype=dtype,
-                                          mustnot_groups=negs)
+                docs, scores = union_topk(
+                    term_specs, seg_k, dtype=dtype, mustnot_groups=negs,
+                    tie=(tie_breaker if occur == "dismax" else None))
             else:
                 sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                           if spq is not None else None)
                 rfns = None
-                if range_specs:
+                if range_specs or exists_specs:
                     ssrc = self._seg_sources()
                     dirs = (ssrc.get(_seg, [_seg]) if ssrc
                             else [_seg])
                     rfns = [_range_lookup(self._turns_path, dirs,
-                                          range_specs, self._offsets)]
+                                          range_specs, self._offsets,
+                                          exists_specs=exists_specs)]
                 docs, scores = segment_topk(specs, negs, seg_k,
                                             dtype=dtype,
                                             should_specs=sspecs,
-                                            range_fns=rfns)
+                                            range_fns=rfns,
+                                            const_score=const_score)
             if docs.size:
                 parts.append((docs, scores))
         if not parts:
@@ -1932,12 +2214,21 @@ class IndexReader:
         pq = parse_query(query) if isinstance(query, str) else query
         range_specs = [_typed_range_spec(c) for c in pq.positive
                        if c.kind == "range"]
-        if range_specs:
-            self._validate_range_cols(range_specs)
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
             rng_ctx = (self._turns_path, self._seg_sources(),
                        self._offsets)
         else:
             rng_ctx = None
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            # pure match-all: count the row-store scan (same candidate
+            # pipeline as _search_all)
+            return self._all_candidates(range_specs, exists_specs,
+                                        pq.negative).count()
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
@@ -1979,7 +2270,8 @@ class IndexReader:
                     dirs = (ssrc.get(_seg, [_seg]) if ssrc
                             else [_seg])
                     rfns = [_range_lookup(troot, dirs, range_specs,
-                                          offs)]
+                                          offs,
+                                          exists_specs=exists_specs)]
                 total += count_matches(specs, negs, range_fns=rfns)
             yield pa.record_batch([pa.array([total], type=pa.int64())],
                                   names=["n"])

@@ -198,7 +198,8 @@ def single_term_topk(tp: TermPostings, weight: Bm25Weight, k: int):
 
 
 def union_topk(term_specs: list[tuple], k: int, dtype=np.float32,
-               mustnot_groups: list | None = None):
+               mustnot_groups: list | None = None,
+               tie: float | None = None):
     """Scored disjunction (Should) top-k with multi-scorer block-max
     pruning — the vectorized analog of the reference's Block-Max WAND
     (crates/tantivy/src/query/boolean_query/block_wand.rs:16-212).
@@ -212,7 +213,16 @@ def union_topk(term_specs: list[tuple], k: int, dtype=np.float32,
     scoring (concat + stable sort + reduceat, preserving clause order
     for f32 accumulation) stops when the next bound cannot beat the
     current k-th score. Property-tested equal to exhaustive union.
+
+    tie: DisjunctionMax combiner (tantivy DisjunctionMaxQuery,
+    score_combiner.rs:82-115): doc score = max over matching clauses +
+    tie × (sum − max) instead of the plain sum. The sum-of-block-ubs
+    interval bound stays a valid upper bound for any tie in [0, 1]
+    (max + tie·(sum−max) <= sum), so pruning is unchanged — merely
+    looser.
     """
+    if tie is not None and not 0.0 <= tie <= 1.0:
+        raise ValueError("dismax tie_breaker must be in [0, 1]")
     d = dtype
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
     specs = [(tp, w) for tp, w in term_specs if tp.nblocks > 0]
@@ -277,9 +287,19 @@ def union_topk(term_specs: list[tuple], k: int, dtype=np.float32,
         # (np.add.reduceat would not — it reorders the reduction)
         docs_u = np.unique(np.concatenate(docs_parts))
         scores = np.zeros(docs_u.size, dtype=d)
-        for pd_, pc_ in zip(docs_parts, contrib_parts):
-            idx = np.searchsorted(docs_u, pd_)
-            scores[idx] = (scores[idx] + pc_.astype(d)).astype(d)
+        if tie is None:
+            for pd_, pc_ in zip(docs_parts, contrib_parts):
+                idx = np.searchsorted(docs_u, pd_)
+                scores[idx] = (scores[idx] + pc_.astype(d)).astype(d)
+        else:
+            # DisjunctionMax: max + tie × (sum − max), sum accumulated
+            # in clause order (same f32 sequencing as the sum path)
+            smax = np.zeros(docs_u.size, dtype=d)
+            for pd_, pc_ in zip(docs_parts, contrib_parts):
+                idx = np.searchsorted(docs_u, pd_)
+                scores[idx] = (scores[idx] + pc_.astype(d)).astype(d)
+                np.maximum.at(smax, idx, pc_.astype(d))
+            scores = (smax + d(tie) * (scores - smax)).astype(d)
         # MustNot exclusion BEFORE merging so pruning never hides a doc
         # the exhaustive evaluation would have kept
         for group in (mustnot_groups or []):
@@ -568,6 +588,7 @@ def segment_topk(
     boost_specs: list[tuple] | None = None,
     require_any: list[list[TermPostings]] | None = None,
     range_fns: list | None = None,
+    const_score: float | None = None,
 ):
     """Full per-segment evaluation.
 
@@ -601,6 +622,17 @@ def segment_topk(
         (crates/tantivy/src/query/range_query/): each fn wraps a
         partition-pruned columnar read of this segment's row-store
         attribute column.
+    clause kinds "termset" (("termset", [(tp, None), ...], boost) —
+        membership = any member, flat score `boost`·1.0, the tantivy
+        TermSetQuery whose combiner ignores subscorer scores,
+        set_query.rs) and "all" (("all", None, boost) — no membership
+        unit, every candidate gains `boost`·1.0, tantivy AllQuery;
+        requires >= 1 other membership-bearing clause — pure match-all
+        queries take the executor's row-store path instead).
+    const_score: replace every candidate's total with this constant
+        AFTER membership/phrase verification (tantivy ConstScoreQuery:
+        the wrapped query decides matching, the score is fixed; optic
+        boost multipliers still apply on top).
     A missing Must term in this segment (TermPostings with 0 blocks)
     makes the conjunction empty.
     Returns (doc_ids, scores) local top-k.
@@ -608,11 +640,13 @@ def segment_topk(
     d = dtype
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
     for kind, tp, _ in clause_specs:
-        if kind == "or":
+        if kind in ("or", "termset"):
             # an or-group needs at least one live member
             if all(t.nblocks == 0 for t, _ in tp):
                 return empty
             continue
+        if kind == "all":
+            continue  # always live
         if kind == "pphrase":
             fixed, exps = tp
             if (any(t.nblocks == 0 for t in fixed)
@@ -627,15 +661,18 @@ def segment_topk(
     if (len(clause_specs) == 1 and clause_specs[0][0] == "term"
             and not mustnot_groups and max_docs is None
             and not should_specs and not boost_specs
-            and require_any is None and not range_fns):
+            and require_any is None and not range_fns
+            and const_score is None):
         _, tp, w = clause_specs[0]
         return single_term_topk(tp, w, k)
 
     # conjunctive candidates across all positive clauses
     units: list = []
     for kind, tp, _ in clause_specs:
-        if kind == "or":
+        if kind in ("or", "termset"):
             units.append(("any", tp))
+        elif kind == "all":
+            pass  # no membership unit — see docstring
         elif kind == "pphrase":
             fixed, exps = tp
             units.extend(("one", t) for t in fixed)
@@ -644,6 +681,8 @@ def segment_topk(
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
+    if not units:
+        return empty  # pure "all" queries use the row-store path
     cand = intersect_units(units)
     if cand.size == 0:
         return empty
@@ -696,6 +735,13 @@ def segment_topk(
     for kind, tp, w in clause_specs:
         if kind == "filter":
             continue  # conjunction-only, unscored
+        if kind in ("termset", "all"):
+            # flat 1.0 × boost: TermSetQuery ignores member scores
+            # (set_query.rs DoNothingCombiner), AllQuery scores 1.0
+            # (all_query.rs:10); every candidate matches by
+            # construction here
+            total = (total + d(w)).astype(d)
+            continue
         if kind == "term":
             tfs, fnids, found = tp.lookup(cand)
             assert found.all()
@@ -769,6 +815,12 @@ def segment_topk(
             contrib = np.zeros(cand.size, dtype=d)
             contrib[pos] = w.score(fnids, tfs[good])
             total = (total + contrib).astype(d)
+
+    if const_score is not None:
+        # tantivy ConstScoreQuery (const_score_query.rs): membership
+        # (incl. phrase verification above) from the wrapped query,
+        # score a constant
+        total = np.full(cand.size, const_score, dtype=d)
 
     # optic boosts: accumulate per-doc boost/downrank over matching
     # rules, multiply before the top-k cut (f64 accumulation like the
@@ -846,9 +898,11 @@ def count_matches(
     ApproxCount estimate is defined against,
     collector/approx_count.rs:104-211)."""
     for kind, tp, _ in clause_specs:
-        if kind == "or":
+        if kind in ("or", "termset"):
             if all(t.nblocks == 0 for t, _ in tp):
                 return 0
+            continue
+        if kind == "all":
             continue
         if kind == "pphrase":
             fixed, exps = tp
@@ -861,8 +915,11 @@ def count_matches(
             return 0
     units: list = []
     for kind, tp, _ in clause_specs:
-        if kind == "or":
+        if kind in ("or", "termset"):
             units.append(("any", tp))
+        elif kind == "all":
+            pass  # no membership unit (pure-all counts use the
+            #       executor's row-store path)
         elif kind == "pphrase":
             fixed, exps = tp
             units.extend(("one", t) for t in fixed)
@@ -871,6 +928,8 @@ def count_matches(
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
+    if not units:
+        return 0  # pure "all" queries use the row-store path
     phrases = [tp for kind, tp, _ in clause_specs if kind == "phrase"]
     pphrases = [tp for kind, tp, _ in clause_specs if kind == "pphrase"]
 

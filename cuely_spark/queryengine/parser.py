@@ -55,6 +55,7 @@ are deduplicated (idempotent AND); `the the the` scores once.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from .. import MAX_TERMS_PER_QUERY
@@ -74,8 +75,12 @@ MAX_FUZZY = 2
 
 @dataclass(frozen=True)
 class Clause:
-    kind: str                 # "term" | "phrase" | "not" | "range"
-    tokens: tuple[str, ...]   # normalized tokens (range: (column,))
+    # "term" | "phrase" | "not" | "filter" | "range" |
+    # "termset" (one-of term set, const score 1 — tantivy TermSetQuery)
+    # "all"     (match every doc, score 1 — tantivy AllQuery)
+    # "exists"  (attribute column non-empty — tantivy ExistsQuery)
+    kind: str
+    tokens: tuple[str, ...]   # normalized tokens (range/exists: (column,))
     slop: int = 0             # phrase clauses only: positional budget
     fuzzy: int = 0            # term clauses only: Levenshtein distance
     prefix: bool = False      # term clauses only: dictionary prefix
@@ -84,6 +89,9 @@ class Clause:
     hi: str | None = None     # range clauses: upper bound
     lo_inc: bool = True       # range clauses: bound inclusivity
     hi_inc: bool = True
+    boost: float = 1.0        # `^N` score multiplier (tantivy
+    #                           BoostQuery / Bm25Weight::boost_by)
+    neg: bool = False         # exists clauses only: `-field:*`
 
 
 @dataclass
@@ -102,8 +110,8 @@ class ParsedQuery:
         """Distinct terms needed from the index, in first-seen order."""
         seen: dict[str, None] = {}
         for c in self.clauses:
-            if c.kind == "range":
-                continue  # a range's column name is not an index term
+            if c.kind in ("range", "exists", "all"):
+                continue  # column names / match-all are not index terms
             for t in c.tokens:
                 seen.setdefault(t, None)
         return list(seen)
@@ -177,6 +185,19 @@ def _as_range(raw: str) -> Clause | None:
                   lo_inc=lo_inc, hi_inc=hi_inc)
 
 
+def _as_exists(raw: str) -> Clause | None:
+    """'tool:*' -> exists Clause (tantivy ExistsQuery,
+    crates/tantivy/src/query/exist_query/: docs with a value for the
+    field; here: the row-store attribute column is non-null AND
+    non-empty). Unscored Must occurrence like filters/ranges."""
+    if ":" not in raw:
+        return None
+    field, _, value = raw.partition(":")
+    if field.lower() in FILTER_FIELDS and value == "*":
+        return Clause("exists", (field.lower(),))
+    return None
+
+
 def _as_filter(raw: str) -> str | None:
     """'role:user' -> normalized filter term, else None."""
     if ":" not in raw:
@@ -237,6 +258,14 @@ def _raw_split(q: str) -> list[str]:
             elif i < n and q[i] == "*":
                 raw += "*"
                 i += 1
+            # then a `^FLOAT` boost glued on ("a b"^2, "a b"~3^1.5)
+            if i < n and q[i] == "^":
+                m = i + 1
+                while m < n and (q[m].isdigit() or q[m] == "."):
+                    m += 1
+                if m > i + 1:
+                    raw += q[i:m]
+                    i = m
             out.append(raw)
         else:
             j = i
@@ -247,6 +276,23 @@ def _raw_split(q: str) -> list[str]:
     return out
 
 
+#: trailing `^FLOAT` boost suffix (Lucene/tantivy boost syntax). The
+#: float must be the LAST thing in the raw term; `a^b` is not a boost.
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def _split_boost(raw: str) -> tuple[str, float]:
+    """Strip a trailing `^FLOAT` boost (tantivy BoostQuery; the parser
+    attaches it to whatever clause the rest of the raw produces).
+    Unscored clauses (not/filter/range/exists) parse-and-discard it —
+    boosting an unscored occurrence is a no-op, as in tantivy where a
+    boosted MustNot still contributes no score."""
+    m = _BOOST_RE.search(raw)
+    if m is None or m.start() == 0:
+        return raw, 1.0
+    return raw[:m.start()], float(m.group(1))
+
+
 def parse_query(q: str) -> ParsedQuery:
     if q is None or not q.strip():
         raise ValueError("empty query")  # reference: query/mod.rs:82-85
@@ -254,6 +300,7 @@ def parse_query(q: str) -> ParsedQuery:
     raws = _raw_split(q)[:MAX_TERMS_PER_QUERY]
     for raw in raws:
         raw = raw[:MAX_TERM_LEN]
+        raw, boost = _split_boost(raw)
         slop = 0
         pprefix = False
         if raw.startswith('"') and raw.endswith('"*') and len(raw) > 3:
@@ -267,16 +314,26 @@ def parse_query(q: str) -> ParsedQuery:
             toks = tuple(tokenize(raw[1:-1])[:MAX_PHRASE_WORDS])
             if len(toks) == 1:
                 # single-word phrase-prefix collapses to a prefix term
-                clauses.append(Clause("term", toks, prefix=pprefix))
+                clauses.append(Clause("term", toks, prefix=pprefix,
+                                      boost=boost))
             elif toks:
                 clauses.append(Clause("phrase", toks, slop,
-                                      prefix=pprefix))
+                                      prefix=pprefix, boost=boost))
+        elif raw == "*":
+            # match-all (tantivy AllQuery, crates/tantivy/src/query/
+            # all_query.rs: every doc scores 1.0 × boost). Composes
+            # with ranges/filters/exists: `* n_chars:>100`.
+            clauses.append(Clause("all", (), boost=boost))
         elif raw.startswith("--"):
             # escaped literal "-term": same one-clause-per-token shape as
             # the bareword branch ('term' clauses are single-token)
             for t in tokenize(raw[1:]):
                 clauses.append(Clause("term", (t,)))
         elif raw.startswith("-") and len(raw) > 1:
+            if (ex := _as_exists(raw[1:])) is not None:
+                # `-tool:*` — docs where the attribute is unset/empty
+                clauses.append(Clause("exists", ex.tokens, neg=True))
+                continue
             filt = _as_filter(raw[1:])
             if filt is not None:
                 clauses.append(Clause("not", (filt,)))
@@ -284,6 +341,8 @@ def parse_query(q: str) -> ParsedQuery:
                 toks = tuple(tokenize(raw[1:]))
                 if toks:
                     clauses.append(Clause("not", toks))
+        elif (ex := _as_exists(raw)) is not None:
+            clauses.append(ex)
         elif (rng := _as_range(raw)) is not None:
             clauses.append(rng)
         elif (filt := _as_filter(raw)) is not None:
@@ -296,11 +355,14 @@ def parse_query(q: str) -> ParsedQuery:
                 _re.compile(pat)
             except _re.error as e:
                 raise ValueError(f"bad regex term {raw!r}: {e}") from e
-            clauses.append(Clause("term", (pat,), regex=True))
+            clauses.append(Clause("term", (pat,), regex=True,
+                                  boost=boost))
         elif (raw.endswith("*") and len(raw) > 1
               and len(tokenize(raw[:-1])) == 1):
             clauses.append(Clause("term", tuple(tokenize(raw[:-1])),
-                                  prefix=True))
+                                  prefix=True, boost=boost))
+        elif (ts := _as_termset(raw)) is not None:
+            clauses.append(Clause("termset", ts, boost=boost))
         else:
             # bareword `word~N` -> fuzzy term (Levenshtein distance N,
             # the tantivy FuzzyTermQuery / Lucene `term~N` analog);
@@ -313,7 +375,8 @@ def parse_query(q: str) -> ParsedQuery:
                     if len(btoks) == 1:
                         raw, fuzzy = base, min(int(suffix), MAX_FUZZY)
             for t in tokenize(raw):
-                clauses.append(Clause("term", (t,), fuzzy=fuzzy))
+                clauses.append(Clause("term", (t,), fuzzy=fuzzy,
+                                      boost=boost))
                 fuzzy = 0
     # boolean simplification: idempotent AND — drop duplicate clauses
     # (reference: query/plan/node.rs:124-135 deduplicate())
@@ -321,20 +384,41 @@ def parse_query(q: str) -> ParsedQuery:
     dedup: list[Clause] = []
     for c in clauses:
         key = (c.kind, c.tokens, c.slop, c.fuzzy, c.prefix, c.regex,
-               c.lo, c.hi, c.lo_inc, c.hi_inc)
+               c.lo, c.hi, c.lo_inc, c.hi_inc, c.boost, c.neg)
         if key not in seen:
             seen.add(key)
             dedup.append(c)
     pq = ParsedQuery(dedup)
     if not pq.positive:
         raise ValueError("query has no positive clauses")
-    if all(c.kind == "range" for c in pq.positive):
-        # candidate enumeration walks postings; a pure range filter has
-        # none to walk (the reference's RangeQuery composes with terms
-        # the same way in practice — standalone ranges are out of scope)
+    if all(c.kind in ("range", "exists") for c in pq.positive):
+        # candidate enumeration needs a membership source: postings
+        # (term/phrase/filter/termset) or the match-all row-store scan.
         raise ValueError(
-            "range filters need at least one term/phrase/filter clause")
+            "range/exists filters need a term/phrase/filter clause or "
+            "an explicit `*` match-all")
     return pq
+
+
+def _as_termset(raw: str) -> tuple[str, ...] | None:
+    """'a|b|c' -> one-of member tuple (tantivy TermSetQuery,
+    crates/tantivy/src/query/set_query.rs: matches docs containing ANY
+    member, const score 1.0 — its weight uses a DoNothingCombiner, the
+    query's own tests assert score == 1.0). Only when every
+    |-separated part tokenizes to exactly one term; otherwise the raw
+    falls through to the bareword path."""
+    if "|" not in raw or raw.startswith("/"):
+        return None
+    parts = raw.split("|")
+    if len(parts) < 2 or any(not p for p in parts):
+        return None
+    members: list[str] = []
+    for p in parts:
+        toks = tokenize(p)
+        if len(toks) != 1:
+            return None
+        members.append(toks[0])
+    return tuple(dict.fromkeys(members))
 
 
 # reference: crates/core/src/query/mod.rs:43
