@@ -394,3 +394,29 @@ def test_match_all_on_merged_index(spark, docs_pdf, tmp_path_factory):
     want = [(int(x.doc_id), 1.0) for _, x in docs_pdf.iterrows()
             if x.tool != "" and x.n_chars > 30]
     assert sorted(got) == sorted(want)
+
+
+def test_match_all_plan_shape(qreader):
+    """100-TB shape of the match-all path (docs/PLANS.md): row-store
+    filters pushed into the parquet scan, negation as a BROADCAST
+    LeftAnti join (the corpus side never shuffles), no cartesian."""
+    spark = qreader.spark
+    # PushedFilters lists are truncated at maxMetadataStringLength (100)
+    # in the plan string; widen both limits so every filter is visible.
+    old_fields = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    old_meta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        df = qreader.search("* tool:* n_chars:20..50 -merge",
+                            k=qreader.num_docs)
+        plan = df._jdf.queryExecution().toString()
+        assert "GreaterThanOrEqual(n_chars,20)" in plan
+        assert "Not(EqualTo(tool,))" in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        # the negated term's postings scan is term-pruned
+        assert "EqualTo(term,merge)" in plan
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old_fields)
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_meta)
