@@ -410,6 +410,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          max_docs_per_segment=50)
         return spark.createDataFrame([(n, exact)], "n long, exact boolean")
     out["ft_count_approx"] = ft_count_approx
+
+    def ft_search_count(spark, sf_dir):
+        """One-pass (Count, TopDocs) tuple collector: top-10 hits AND
+        the exact total from a single posting scan (reference
+        search.rs:47-95 / approx_count.rs — never two queries)."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        d, s, n = r.search_with_count("merge table", k=10,
+                                      dtype=np.float64, local=False)
+        assert n.exact
+        rows = [(int(doc), float(sc), int(n))
+                for doc, sc in zip(d, s)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, score double, "
+                                   "total long")
+        return df.select("doc_id",
+                         F.round(F.col("score"), 4).alias("score"),
+                         "total")
+    out["ft_search_count"] = ft_search_count
     out["ft_term_stats"] = _ft_term_stats
     out["ft_doc_stats"] = _ft_doc_stats
 
@@ -778,7 +798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # head + blend pytest), events_windowed
             # (events_sessionized stays head)
             "ft_regex", "ft_snippets", "ft_optic", "ft_sorted_search",
-            "ft_blend", "events_windowed"]
+            "ft_blend", "events_windowed",
+            # one more to make head room for ft_search_count: the
+            # attribute-filter surface stays doubly pinned by
+            # ft_filter_lang_all (head this round) + test_filters
+            "ft_filter_not_source"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -849,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
         ])
     for name, q in FT_COUNTS.items():
         out[name] = count_sql(q)
+    out["ft_search_count"] = (
+        "SELECT t.doc_id, t.score, "
+        f"(SELECT n FROM ({count_sql('merge table')})) AS total "
+        f"FROM ({bm25_search_sql('merge table', k=10)}) t")
     # single segment at gate scale: capped segment contributes
     # max(cap, df_merge*df_table // N) with exact integer division
     out["ft_count_approx"] = f"""

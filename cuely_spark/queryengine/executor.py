@@ -40,6 +40,35 @@ _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
                  "block_max_tf", "block_min_fnid"]
 
 
+class Count:
+    """Exact-or-approximate hit count — the reference's
+    `approx_count::Count` (crates/core/src/collector/approx_count.rs:
+    28-85: Exact(u64) | Approximate(u64), composing to Approximate when
+    either side is approximate)."""
+
+    __slots__ = ("value", "exact")
+
+    def __init__(self, value: int, exact: bool = True):
+        self.value = int(value)
+        self.exact = bool(exact)
+
+    def compose(self, other: "Count") -> "Count":
+        return Count(self.value + other.value,
+                     self.exact and other.exact)
+
+    def __int__(self) -> int:
+        return self.value
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Count):
+            return (self.value, self.exact) == (other.value, other.exact)
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        kind = "Exact" if self.exact else "Approximate"
+        return f"Count.{kind}({self.value})"
+
+
 class Expansion(list):
     """compounds-dict value marking a dictionary-expansion or-group
     (fuzzy/prefix/regex term) whose members REPLACE the clause token:
@@ -1130,7 +1159,8 @@ class IndexReader:
                optic: list | None = None,
                fuzzy_transpositions: bool = False,
                tie_breaker: float = 0.0,
-               const_score: float | None = None):
+               const_score: float | None = None,
+               _count_rows: bool = False):
         """Top-k DataFrame (doc_id, score[, conv cols]), rank order.
 
         occur="must" (default): conjunctive AND of all positive clauses
@@ -1235,7 +1265,7 @@ class IndexReader:
             return self._search_all(
                 pq, k=k, offset=offset, with_meta=with_meta,
                 range_specs=range_specs, exists_specs=exists_specs,
-                const_score=const_score)
+                const_score=const_score, _count_rows=_count_rows)
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang,
             fuzzy_transpositions=fuzzy_transpositions)
@@ -1247,9 +1277,9 @@ class IndexReader:
                 raise ValueError(
                     f"occur={occur!r} supports plain term clauses only")
             if all(dfs[c.tokens[0]] == 0 for c in pq.positive):
-                return self._empty_result()
+                return None if _count_rows else self._empty_result()
         elif self._dead_clause(pq, compounds, dfs):
-            return self._empty_result()
+            return None if _count_rows else self._empty_result()
         weights = self._weights(pq, dfs, dtype)
         if spq is not None:
             weights.update(self._weights(spq, dfs, dtype))
@@ -1275,9 +1305,19 @@ class IndexReader:
                                       compounds=compounds)
             if union:
                 term_specs = [(tp, w) for kind, tp, w in specs]
-                return union_topk(
+                res = union_topk(
                     term_specs, seg_k, dtype=dtype, mustnot_groups=negs,
                     tie=(tie_breaker if occur == "dismax" else None))
+                if _count_rows:
+                    # union membership count: one or-group conjunction
+                    # (WAND can't count — it skips; this is the tuple-
+                    # collector full walk, like tantivy's Count forcing
+                    # full evaluation alongside TopDocs)
+                    n = count_matches(
+                        [("or", [(tp, None) for tp, _ in term_specs],
+                          None)], negs)
+                    return res + (n, False)
+                return res
             sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                       if spq is not None else None)
             empty_tp = TermPostings([], [], [], [], [], [])
@@ -1301,7 +1341,7 @@ class IndexReader:
                 max_docs=max_docs_per_segment,
                 should_specs=sspecs, boost_specs=bspecs,
                 require_any=req, range_fns=rfns,
-                const_score=const_score)
+                const_score=const_score, with_count=_count_rows)
 
         def run_arrow(batches):
             # arrow-native per-partition evaluation: ONE arrow table per
@@ -1330,6 +1370,66 @@ class IndexReader:
                  pa.array(np.concatenate(segs_out))],
                 names=["doc_id", "score", "segment_id"])
 
+        if _count_rows:
+            # one-pass top-k + per-segment hit counts (the reference's
+            # (Count|ApproxCount, TopDocs) tuple collector,
+            # crates/core/src/inverted_index/search.rs:47-95): each
+            # segment emits its top-k hit rows (n = -1) plus ONE
+            # sentinel count row (n >= 0). A capped segment reports
+            # max(exact_considered, term-independence estimate) and
+            # flags itself approximate — ApproxCount harvest semantics
+            # (collector/approx_count.rs:162-181).
+            simple_terms = [t for c in pq.positive if c.kind == "term"
+                            for t in c.tokens]
+            seg_docs = self.segment_docs  # tiny dict in the closure
+            capd = max_docs_per_segment
+
+            def run_arrow_count(batches):
+                import pyarrow as pa
+
+                bl = [b for b in batches if b.num_rows]
+                if not bl:
+                    return
+                tbl = pa.Table.from_batches(bl)
+                d_o, s_o, g_o, n_o, c_o = [], [], [], [], []
+                for seg, by_term in _group_arrow_postings(tbl):
+                    docs, scores, n, was_capped = eval_by_term(by_term,
+                                                               seg)
+                    if was_capped and capd is not None:
+                        prod = 1
+                        for t in simple_terms:
+                            tp = by_term.get(t)
+                            prod *= (int(tp.doc_count)
+                                     if tp is not None else 0)
+                        nd = seg_docs.get(seg, 0)
+                        kt = len(simple_terms)
+                        est = (prod // (nd ** (kt - 1))
+                               if nd and kt > 1 else prod)
+                        n = max(n, est)
+                    d_o.append(np.concatenate(
+                        [np.array([-1], dtype=np.int64),
+                         docs.astype(np.int64)]))
+                    s_o.append(np.concatenate(
+                        [np.zeros(1), scores.astype(np.float64)]))
+                    g_o.append(np.full(docs.size + 1, seg,
+                                       dtype=np.int64))
+                    n_o.append(np.concatenate(
+                        [np.array([n], dtype=np.int64),
+                         np.full(docs.size, -1, dtype=np.int64)]))
+                    c_o.append(np.concatenate(
+                        [np.array([bool(was_capped)]),
+                         np.zeros(docs.size, dtype=bool)]))
+                if not d_o:
+                    return
+                yield pa.record_batch(
+                    [pa.array(np.concatenate(d_o)),
+                     pa.array(np.concatenate(s_o)),
+                     pa.array(np.concatenate(g_o)),
+                     pa.array(np.concatenate(n_o)),
+                     pa.array(np.concatenate(c_o))],
+                    names=["doc_id", "score", "segment_id", "n",
+                           "capped"])
+
         out_schema = "doc_id long, score double, segment_id long"
 
         # small queries (few posting blocks): one task evaluating all
@@ -1343,6 +1443,10 @@ class IndexReader:
             shaped = postings.repartition(1)
         else:
             shaped = postings.repartition(F.col("segment_id"))
+        if _count_rows:
+            return shaped.mapInArrow(
+                run_arrow_count,
+                schema=out_schema + ", n long, capped boolean")
         local = shaped.mapInArrow(run_arrow, schema=out_schema)
         return self._topk_tail(local, k, offset, with_meta)
 
@@ -1463,12 +1567,18 @@ class IndexReader:
     def _search_all(self, pq: ParsedQuery, k: int, offset: int,
                     with_meta: bool, range_specs: list,
                     exists_specs: list,
-                    const_score: float | None = None):
+                    const_score: float | None = None,
+                    _count_rows: bool = False):
         """search() for queries with no posting-backed positive clause
         (`*`, `* n_chars:>100`, `* -tool:* -error`): every doc passing
         the row-store filters matches; score = Σ boosts of the `*`
         clauses (AllQuery scores 1.0 × boost) or const_score; ranking
-        ties break doc_id asc like everywhere else."""
+        ties break doc_id asc like everywhere else.
+
+        _count_rows: sentinel-row protocol (one count row per scan
+        partition + its local top-seg_k hit rows) for the one-pass
+        (Count, TopDocs) harvest — count is always Exact here (the
+        row-store scan has no ShortCircuit cap)."""
         from pyspark.sql import functions as F
 
         score = (const_score if const_score is not None
@@ -1476,13 +1586,53 @@ class IndexReader:
                           if c.kind == "all"))
         cand = self._all_candidates(range_specs, exists_specs,
                                     pq.negative)
+        if _count_rows:
+            seg_k = k + offset
+            sc = float(score)
+
+            def run_count(batches):
+                import pyarrow as pa
+
+                parts = [np.asarray(b.column(0).to_numpy(),
+                                    dtype=np.int64)
+                         for b in batches if b.num_rows]
+                if not parts:
+                    return
+                ids = np.concatenate(parts)
+                n = int(ids.size)
+                if n > seg_k:
+                    top = np.sort(np.partition(ids, seg_k)[:seg_k])
+                else:
+                    top = np.sort(ids)
+                yield pa.record_batch(
+                    [pa.array(np.concatenate(
+                        [np.array([-1], dtype=np.int64), top])),
+                     pa.array(np.concatenate(
+                         [np.zeros(1),
+                          np.full(top.size, sc)])),
+                     pa.array(np.full(top.size + 1, -1,
+                                      dtype=np.int64)),
+                     pa.array(np.concatenate(
+                         [np.array([n], dtype=np.int64),
+                          np.full(top.size, -1, dtype=np.int64)])),
+                     pa.array(np.concatenate(
+                         [np.array([False]),
+                          np.zeros(top.size, dtype=bool)]))],
+                    names=["doc_id", "score", "segment_id", "n",
+                           "capped"])
+
+            return cand.select("doc_id").mapInArrow(
+                run_count,
+                schema="doc_id long, score double, segment_id long, "
+                       "n long, capped boolean")
         local = cand.withColumn("score", F.lit(float(score)))
         return self._topk_tail(local, k, offset, with_meta)
 
     def _search_all_local(self, pq: ParsedQuery, k: int, dtype,
                           offset: int, range_specs: list,
                           exists_specs: list,
-                          const_score: float | None = None):
+                          const_score: float | None = None,
+                          _with_count: bool = False):
         """Driver-local `_search_all`: one pyarrow read of the
         hive-partitioned row store with the filters pushed down, same
         (score desc = const, doc_id asc) ordering. Small-index path
@@ -1532,11 +1682,15 @@ class IndexReader:
             if excl_parts:
                 excl = np.unique(np.concatenate(excl_parts))
                 ids = ids[~np.isin(ids, excl)]
+        n_all = int(ids.size)
         ids = np.sort(ids)[offset:offset + k]
         score = (const_score if const_score is not None
                  else sum(c.boost for c in pq.positive
                           if c.kind == "all"))
-        return ids, np.full(ids.size, score, dtype=dtype)
+        scores = np.full(ids.size, score, dtype=dtype)
+        if _with_count:
+            return ids, scores, Count(n_all, True)
+        return ids, scores
 
     def signals(self, query: str | ParsedQuery, dtype=np.float64):
         """Per-doc text signals (doc_id, bm25, coverage, idf_sum) for
@@ -2072,7 +2226,8 @@ class IndexReader:
                      lang: str | None = None,
                      fuzzy_transpositions: bool = False,
                      tie_breaker: float = 0.0,
-                     const_score: float | None = None):
+                     const_score: float | None = None,
+                     _with_count: bool = False):
         """Driver-local execution: pyarrow-pruned posting read + the
         SAME numpy segment kernel and merge order as the distributed
         path — no Spark job. Returns (doc_ids, scores) numpy arrays.
@@ -2114,7 +2269,7 @@ class IndexReader:
             return self._search_all_local(
                 pq, k=k, dtype=dtype, offset=offset,
                 range_specs=range_specs, exists_specs=exists_specs,
-                const_score=const_score)
+                const_score=const_score, _with_count=_with_count)
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, occur, lang=lang,
             fuzzy_transpositions=fuzzy_transpositions)
@@ -2122,6 +2277,8 @@ class IndexReader:
             pq.all_terms() + s_terms + c_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+        if _with_count:
+            empty = empty + (Count(0, True),)
         if union:
             if any(c.kind != "term" for c in pq.positive):
                 raise ValueError(
@@ -2143,6 +2300,7 @@ class IndexReader:
             pq.all_terms() + s_terms + c_terms))
         tbl = self._local_postings(terms, has_phrase)
         seg_k = k + offset
+        n_total = 0
         parts: list[tuple[np.ndarray, np.ndarray]] = []
         for _seg, by_term in _group_arrow_postings(tbl):
             specs, negs = _make_specs(pq, weights, by_term, dtype,
@@ -2152,6 +2310,10 @@ class IndexReader:
                 docs, scores = union_topk(
                     term_specs, seg_k, dtype=dtype, mustnot_groups=negs,
                     tie=(tie_breaker if occur == "dismax" else None))
+                if _with_count:
+                    n_total += count_matches(
+                        [("or", [(tp, None) for tp, _ in term_specs],
+                          None)], negs)
             else:
                 sspecs = (_make_specs(spq, weights, by_term, dtype)[0]
                           if spq is not None else None)
@@ -2163,14 +2325,22 @@ class IndexReader:
                     rfns = [_range_lookup(self._turns_path, dirs,
                                           range_specs, self._offsets,
                                           exists_specs=exists_specs)]
-                docs, scores = segment_topk(specs, negs, seg_k,
-                                            dtype=dtype,
-                                            should_specs=sspecs,
-                                            range_fns=rfns,
-                                            const_score=const_score)
+                res = segment_topk(specs, negs, seg_k,
+                                   dtype=dtype,
+                                   should_specs=sspecs,
+                                   range_fns=rfns,
+                                   const_score=const_score,
+                                   with_count=_with_count)
+                if _with_count:
+                    docs, scores, n, _capped = res
+                    n_total += n  # no ShortCircuit cap on this path
+                else:
+                    docs, scores = res
             if docs.size:
                 parts.append((docs, scores))
         if not parts:
+            if _with_count:
+                return empty[:2] + (Count(n_total, True),)
             return empty
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
@@ -2178,6 +2348,8 @@ class IndexReader:
         # distributed TakeOrderedAndProject ordering
         order = np.lexsort((docs, -scores.astype(np.float64)))
         order = order[offset:offset + k]
+        if _with_count:
+            return docs[order], scores[order], Count(n_total, True)
         return docs[order], scores[order]
 
     def search_collect(self, query, k: int = TOP_K_DEFAULT,
@@ -2200,6 +2372,90 @@ class IndexReader:
         rows = self.search(query, k=k, dtype=dtype).collect()
         return (np.array([r["doc_id"] for r in rows], dtype=np.int64),
                 np.array([r["score"] for r in rows], dtype=dtype))
+
+    def search_with_count(self, query, k: int = TOP_K_DEFAULT,
+                          dtype=np.float32, offset: int = 0,
+                          occur: str = "must",
+                          should=None,
+                          compound_terms: bool | None = None,
+                          stemmed: bool | None = None,
+                          lang: str | None = None,
+                          fuzzy_transpositions: bool = False,
+                          tie_breaker: float = 0.0,
+                          const_score: float | None = None,
+                          max_docs_per_segment: int | None = None,
+                          local: bool | None = None):
+        """(doc_ids, scores, Count) — top-k hits AND the total hit
+        count from ONE pass over the postings.
+
+        The reference never runs count as a second query: its searcher
+        composes a `(Count, TopDocs)` (or `(ApproxCount, TopDocs)`
+        under ShortCircuit) tuple collector over a single scorer walk
+        (crates/core/src/inverted_index/search.rs:47-95,
+        crates/core/src/collector/approx_count.rs:28-85). This is that
+        surface: at 100 TB it halves the dominant cost (the posting
+        scan) for every page-1 SERP-style request, which always needs
+        both the hits and "about N results".
+
+        Count semantics: `Count.exact` is True unless any segment's
+        candidate stream was truncated by `max_docs_per_segment` —
+        a capped segment reports max(matches_seen, term-independence
+        estimate df₁·df₂·…/N^(t-1)) and poisons exactness, exactly the
+        reference's `ApproxCount` composition
+        (approx_count.rs:104-211). The top-k rows themselves are
+        IDENTICAL to :meth:`search` / :meth:`search_collect` (rank
+        parity pinned by tests/test_search_with_count.py).
+
+        local=None auto-routes like :meth:`search_collect` (driver-
+        local kernel below `local_threshold` posting blocks, Spark
+        above); the local path never caps, so its count is always
+        Exact."""
+        if max_docs_per_segment is not None:
+            local = False  # ShortCircuit cap is distributed-only
+        if local is None and self.local_threshold > 0:
+            pq = (parse_query(query) if isinstance(query, str)
+                  else query)
+            compounds, c_terms = self._plan_alternatives(pq, None, None)
+            dfs = self.term_dfs(list(dict.fromkeys(
+                pq.all_terms() + c_terms)))
+            est = sum(-(-df // 128) + 1 for df in dfs.values())
+            local = est <= self.local_threshold
+        if local:
+            return self.search_local(
+                query, k=k, dtype=dtype, occur=occur, offset=offset,
+                should=should, compound_terms=compound_terms,
+                stemmed=stemmed, lang=lang,
+                fuzzy_transpositions=fuzzy_transpositions,
+                tie_breaker=tie_breaker, const_score=const_score,
+                _with_count=True)
+        res = self.search(
+            query, k=k, dtype=dtype, occur=occur, offset=offset,
+            should=should, compound_terms=compound_terms,
+            stemmed=stemmed, lang=lang,
+            fuzzy_transpositions=fuzzy_transpositions,
+            tie_breaker=tie_breaker, const_score=const_score,
+            max_docs_per_segment=max_docs_per_segment,
+            _count_rows=True)
+        if res is None:  # dead query: no candidate can match
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=dtype), Count(0, True))
+        rows = res.collect()
+        n = 0
+        exact = True
+        docs_l, scores_l = [], []
+        for r in rows:
+            if r["n"] >= 0:  # sentinel count row
+                n += int(r["n"])
+                exact = exact and not r["capped"]
+            else:
+                docs_l.append(r["doc_id"])
+                scores_l.append(r["score"])
+        docs = np.array(docs_l, dtype=np.int64)
+        scores = np.array(scores_l, dtype=np.float64)
+        # same global ordering as _topk_tail: score desc, doc_id asc
+        order = np.lexsort((docs, -scores))
+        sel = order[offset:offset + k]
+        return docs[sel], scores[sel].astype(dtype), Count(n, exact)
 
     # ------------------------------------------------------------------
     def count(self, query: str | ParsedQuery,

@@ -589,6 +589,7 @@ def segment_topk(
     require_any: list[list[TermPostings]] | None = None,
     range_fns: list | None = None,
     const_score: float | None = None,
+    with_count: bool = False,
 ):
     """Full per-segment evaluation.
 
@@ -635,10 +636,20 @@ def segment_topk(
         boost multipliers still apply on top).
     A missing Must term in this segment (TermPostings with 0 blocks)
     makes the conjunction empty.
-    Returns (doc_ids, scores) local top-k.
+    Returns (doc_ids, scores) local top-k — or, with with_count=True,
+    (doc_ids, scores, n_matches, capped): the exact number of docs that
+    survive every membership stage (the tuple-collector shape of the
+    reference's one-pass search, crates/core/src/inverted_index/
+    search.rs:47-95 — (Count, TopDocs) over one scorer walk; the
+    conjunctive kernel materializes the full candidate set anyway, so
+    the count is free) plus whether the ShortCircuit cap truncated the
+    candidate stream (docs were skipped — the count is a lower bound).
     """
     d = dtype
+    capped = False
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=d))
+    if with_count:
+        empty = empty + (0, False)
     for kind, tp, _ in clause_specs:
         if kind in ("or", "termset"):
             # an or-group needs at least one live member
@@ -664,7 +675,12 @@ def segment_topk(
             and require_any is None and not range_fns
             and const_score is None):
         _, tp, w = clause_specs[0]
-        return single_term_topk(tp, w, k)
+        res = single_term_topk(tp, w, k)
+        if with_count:
+            # no negation/range/cap in this branch: every posting doc
+            # matches, so the count is the df without disabling WAND
+            return res + (int(tp.doc_count), False)
+        return res
 
     # conjunctive candidates across all positive clauses
     units: list = []
@@ -700,6 +716,7 @@ def segment_topk(
         # crates/tantivy/src/query/shortcircuit.rs:22-74, used with
         # max_docs_considered=250k, config/defaults.rs:38-40)
         cand = cand[:max_docs]
+        capped = True
 
     # MustNot exclusion: docs matching ALL terms of a negative group
     # (or, for optic discard rules, the group's matcher spec — possibly
@@ -719,7 +736,7 @@ def segment_topk(
         else:
             cand = cand[~matcher_mask(group, cand)]
     if cand.size == 0:
-        return empty
+        return empty[:2] + (0, capped) if with_count else empty
 
     # DiscardNonMatching: keep candidates matching >= 1 rule matcher
     if require_any is not None:
@@ -728,7 +745,7 @@ def segment_topk(
             m |= matcher_mask(spec, cand)
         cand = cand[m]
         if cand.size == 0:
-            return empty
+            return empty[:2] + (0, capped) if with_count else empty
 
     # score clause by clause in query order (f32 accumulation order)
     total = np.zeros(cand.size, dtype=d)
@@ -770,7 +787,7 @@ def segment_topk(
             keep = tfs > 0
             cand, total, tfs = cand[keep], total[keep], tfs[keep]
             if cand.size == 0:
-                return empty
+                return empty[:2] + (0, capped) if with_count else empty
             _, fnids, _ = fixed[0].lookup(cand)
             total = (total + w.score(fnids, tfs)).astype(d)
         else:  # phrase
@@ -778,7 +795,7 @@ def segment_topk(
             keep = tfs > 0
             cand, total, tfs = cand[keep], total[keep], tfs[keep]
             if cand.size == 0:
-                return empty
+                return empty[:2] + (0, capped) if with_count else empty
             _, fnids, _ = tp[0].lookup(cand)
             total = (total + w.score(fnids, tfs)).astype(d)
 
@@ -841,6 +858,8 @@ def segment_topk(
         mult[dn] = 1.0 / (1.0 + down[dn] - boost[dn])
         total = (total.astype(np.float64) * mult).astype(d)
 
+    if with_count:
+        return _merge_topk(cand, total, k) + (int(cand.size), capped)
     return _merge_topk(cand, total, k)
 
 
