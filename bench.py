@@ -102,6 +102,25 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
             times.append(time.time() - tq)
         queries[name] = round(statistics.median(times), 4)
 
+    # ---- 2c. hits+total (the SERP-shaped request): separate
+    # search()+count() pay the posting scan twice; the one-pass
+    # (Count, TopDocs) tuple collector pays it once. Forced through
+    # the distributed path — the scan cost is the 100-TB story.
+    q_ht = "example website"
+    r.search_collect(q_ht, k=20, local=False); r.count(q_ht)  # warm
+    r.search_with_count(q_ht, k=20, local=False)              # warm
+    two_t, one_t = [], []
+    for _ in range(reps):
+        tq = time.time()
+        r.search_collect(q_ht, k=20, local=False)
+        r.count(q_ht)
+        two_t.append(time.time() - tq)
+        tq = time.time()
+        r.search_with_count(q_ht, k=20, local=False)
+        one_t.append(time.time() - tq)
+    queries["hits_total_two_pass"] = round(statistics.median(two_t), 4)
+    queries["hits_total_one_pass"] = round(statistics.median(one_t), 4)
+
     # ---- 2b. batch mode: the whole query set in ONE job
     r.search_many(QUERY_SET, k=20).collect()  # warm
     tb = time.time()
