@@ -430,6 +430,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round(F.col("score"), 4).alias("score"),
                          "total")
     out["ft_search_count"] = ft_search_count
+
+    def ft_batch_count(spark, sf_dir):
+        """Batch tuple collector: every query in the ONE-job batch
+        also gets its total hit count (windowed sentinel fold in the
+        same per-query shuffle the ranking pays)."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        res = r.search_many(
+            {"bc_and": "merge table", "bc_phrase": '"batch batch"',
+             "bc_not": "merge -window"},
+            k=10, dtype=np.float64, with_count=True)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"),
+                          "total")
+    out["ft_batch_count"] = ft_batch_count
     out["ft_term_stats"] = _ft_term_stats
     out["ft_doc_stats"] = _ft_doc_stats
 
@@ -799,10 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # (events_sessionized stays head)
             "ft_regex", "ft_snippets", "ft_optic", "ft_sorted_search",
             "ft_blend", "events_windowed",
-            # one more to make head room for ft_search_count: the
-            # attribute-filter surface stays doubly pinned by
-            # ft_filter_lang_all (head this round) + test_filters
-            "ft_filter_not_source"]
+            # two more to make head room for ft_search_count and
+            # ft_batch_count: the attribute-filter surface stays
+            # doubly pinned by ft_filter_lang_all (head this round) +
+            # test_filters; the scored-union surface by ft_dismax
+            # (head) + test_union_wand
+            "ft_filter_not_source", "ft_or_topk"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -877,6 +895,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT t.doc_id, t.score, "
         f"(SELECT n FROM ({count_sql('merge table')})) AS total "
         f"FROM ({bm25_search_sql('merge table', k=10)}) t")
+    out["ft_batch_count"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, t.doc_id, t.score, "
+        f"(SELECT n FROM ({count_sql(q)})) AS total "
+        f"FROM ({bm25_search_sql(q, k=10)}) t"
+        for name, q in [("bc_and", "merge table"),
+                        ("bc_phrase", '"batch batch"'),
+                        ("bc_not", "merge -window")])
     # single segment at gate scale: capped segment contributes
     # max(cap, df_merge*df_table // N) with exact integer division
     out["ft_count_approx"] = f"""

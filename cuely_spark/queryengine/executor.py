@@ -1893,7 +1893,8 @@ class IndexReader:
 
     def search_many(self, queries: dict, k: int = TOP_K_DEFAULT,
                     dtype=np.float32, compound_terms: bool | None = None,
-                    stemmed: bool | None = None):
+                    stemmed: bool | None = None,
+                    with_count: bool = False):
         """Evaluate MANY queries in ONE Spark job — queries as data.
 
         One postings scan filtered by the union of all query terms; each
@@ -1925,6 +1926,17 @@ class IndexReader:
 
         Returns DataFrame (query, rank, doc_id, score); rank is 1-based
         after the query's offset.
+
+        with_count=True: the batch tuple collector — each result row
+        also carries `total` (the query's hit count across the whole
+        index) and `total_exact` (False when a per-query ShortCircuit
+        cap truncated any segment, which reports the term-independence
+        estimate instead — ApproxCount composition,
+        collector/approx_count.rs:28-85). Same single posting scan:
+        per-(query, segment) sentinel count rows ride the kernel
+        output and fold into a window sum in the SAME per-query
+        shuffle the ranking already pays. A query with zero hits has
+        no rows (unchanged from with_count=False).
         """
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
@@ -2082,10 +2094,13 @@ class IndexReader:
         live = {name: pq for name, pq in parsed.items()
                 if not self._dead_clause(pq, compounds_by[name], dfs)}
         if not live:
+            extra = (", CAST(NULL AS LONG) AS total, "
+                     "CAST(NULL AS BOOLEAN) AS total_exact"
+                     if with_count else "")
             return self.spark.sql(
                 "SELECT CAST(NULL AS STRING) AS query, "
                 "CAST(NULL AS INT) AS rank, CAST(NULL AS LONG) AS doc_id, "
-                "CAST(NULL AS DOUBLE) AS score WHERE 1=0")
+                f"CAST(NULL AS DOUBLE) AS score{extra} WHERE 1=0")
         has_phrase = any(
             c.kind == "phrase"
             for name in live
@@ -2120,6 +2135,7 @@ class IndexReader:
                 return
             tbl = pa.Table.from_batches(bl)
             names_out, docs_out, scores_out = [], [], []
+            ns_out, caps_out = [], []
             empty_tp = TermPostings([], [], [], [], [], [])
             for seg, by_term in _group_arrow_postings(tbl):
                 dl_fn = (_doclen_lookup(idx_path, seg)
@@ -2155,25 +2171,80 @@ class IndexReader:
                         rfns = [_range_lookup(troot, dirs,
                                               rspecs or [], offs,
                                               exists_specs=especs)]
-                    docs, scores = segment_topk(
+                    res = segment_topk(
                         specs, negs, seg_k[name], dtype=dtype,
                         max_docs=max_docs_by[name],
                         should_specs=sspecs, boost_specs=bspecs,
-                        require_any=req, range_fns=rfns)
+                        require_any=req, range_fns=rfns,
+                        with_count=with_count)
+                    if with_count:
+                        docs, scores, n, was_capped = res
+                        if was_capped and max_docs_by[name] is not None:
+                            # capped segment: term-independence
+                            # estimate (ApproxCount,
+                            # approx_count.rs:104-141)
+                            prod = 1
+                            sterms = [t for c in parsed[name].positive
+                                      if c.kind == "term"
+                                      for t in c.tokens]
+                            for t in sterms:
+                                tp = by_term.get(t)
+                                prod *= (int(tp.doc_count)
+                                         if tp is not None else 0)
+                            nd = seg_docs.get(seg, 0)
+                            kt = len(sterms)
+                            est = (prod // (nd ** (kt - 1))
+                                   if nd and kt > 1 else prod)
+                            n = max(n, est)
+                        # one sentinel count row per (query, segment)
+                        names_out.append(name)
+                        docs_out.append(np.array([-1], dtype=np.int64))
+                        scores_out.append(np.zeros(1))
+                        ns_out.append(np.array([n], dtype=np.int64))
+                        caps_out.append(np.array([bool(was_capped)]))
+                    else:
+                        docs, scores = res
                     if docs.size:
                         names_out.extend([name] * docs.size)
                         docs_out.append(docs.astype(np.int64))
                         scores_out.append(scores.astype(np.float64))
+                        if with_count:
+                            ns_out.append(np.full(docs.size, -1,
+                                                  dtype=np.int64))
+                            caps_out.append(np.zeros(docs.size,
+                                                     dtype=bool))
             if not docs_out:
                 return
-            yield pa.record_batch(
-                [pa.array(names_out, type=pa.string()),
-                 pa.array(np.concatenate(docs_out)),
-                 pa.array(np.concatenate(scores_out))],
-                names=["query", "doc_id", "score"])
+            arrs = [pa.array(names_out, type=pa.string()),
+                    pa.array(np.concatenate(docs_out)),
+                    pa.array(np.concatenate(scores_out))]
+            cols_out = ["query", "doc_id", "score"]
+            if with_count:
+                arrs += [pa.array(np.concatenate(ns_out)),
+                         pa.array(np.concatenate(caps_out))]
+                cols_out += ["n", "capped"]
+            yield pa.record_batch(arrs, names=cols_out)
 
+        seg_docs = self.segment_docs if with_count else None
+        batch_schema = "query string, doc_id long, score double" + (
+            ", n long, capped boolean" if with_count else "")
         local = postings.repartition(F.col("segment_id")).mapInArrow(
-            run_arrow, schema="query string, doc_id long, score double")
+            run_arrow, schema=batch_schema)
+        if with_count:
+            # fold the sentinel rows into per-query totals inside the
+            # SAME per-query shuffle the ranking window already pays
+            # (both windows hash-partition on query -> one Exchange)
+            wq = Window.partitionBy("query")
+            sent = F.when(F.col("n") >= 0, F.col("n"))
+            local = (local
+                     .withColumn("total", F.sum(sent).over(wq))
+                     .withColumn(
+                         "total_exact",
+                         F.max(F.when(F.col("n") >= 0,
+                                      F.col("capped").cast("int"))
+                               .otherwise(F.lit(0))).over(wq) == 0)
+                     .filter(F.col("n") < 0)
+                     .drop("n", "capped"))
         w = (Window.partitionBy("query")
              .orderBy(F.desc("score"), F.asc("doc_id")))
         ranked = local.withColumn("rk", F.row_number().over(w))
@@ -2190,7 +2261,9 @@ class IndexReader:
         else:
             ranked = (ranked.filter(F.col("rk") <= k)
                       .withColumn("rank", F.col("rk").cast("int")))
-        return ranked.select("query", "rank", "doc_id", "score")
+        out_cols = ["query", "rank", "doc_id", "score"] + (
+            ["total", "total_exact"] if with_count else [])
+        return ranked.select(*out_cols)
 
     def _empty_result(self):
         # NOT createDataFrame([], ...): that path costs ~350 ms per call

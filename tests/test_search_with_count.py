@@ -130,3 +130,29 @@ def test_count_compose():
     assert not Count(3, False).compose(Count(4)).exact
     assert repr(Count(2, False)) == "Count.Approximate(2)"
     assert int(Count(9)) == 9
+
+
+def test_batch_with_count(reader):
+    batch = {"a": "test website", "b": '"test website"',
+             "c": "website -test",
+             "capped": {"q": "the", "max_docs": 5}}
+    wc = reader.search_many(batch, k=5, with_count=True).collect()
+    plain = reader.search_many(batch, k=5).collect()
+    assert ([(x["query"], x["rank"], x["doc_id"]) for x in plain]
+            == [(x["query"], x["rank"], x["doc_id"]) for x in wc])
+    for q in ("a", "b", "c"):
+        rows = [x for x in wc if x["query"] == q]
+        assert {x["total"] for x in rows} == {reader.count(batch[q])}
+        assert all(x["total_exact"] for x in rows)
+    capped = [x for x in wc if x["query"] == "capped"]
+    assert capped and not capped[0]["total_exact"]
+    # single-term independence estimate degenerates to the df itself,
+    # so the harvest recovers the true total despite the cap
+    assert capped[0]["total"] == reader.count("the")
+
+
+def test_batch_with_count_dead_query(reader):
+    batch = {"live": "test", "dead": "zzzznotaterm test"}
+    wc = reader.search_many(batch, k=5, with_count=True).collect()
+    assert {x["query"] for x in wc} == {"live"}
+    assert {x["total"] for x in wc} == {reader.count("test")}
