@@ -976,7 +976,9 @@ class IndexReader:
         return self._cap_expansion(ok_terms, ok_dfs, cap)
 
     def suggest_terms(self, token: str, d: int = 2,
-                      k: int = 3) -> list[tuple[str, int, int]]:
+                      k: int = 3,
+                      transpositions: bool = False
+                      ) -> list[tuple[str, int, int]]:
         """Spelling suggestions for one token: dictionary terms within
         Levenshtein `d`, ranked (edit distance asc, df desc, term asc)
         — the web-spell candidate ranking analog (reference:
@@ -987,14 +989,22 @@ class IndexReader:
 
         Scale: same ladder as fuzzy_terms — sidecar row-group lookup
         when available, streaming driver scan below
-        vocab_scan_threshold, distributed term-stats scan above it."""
+        vocab_scan_threshold, distributed term-stats scan above it.
+
+        transpositions=True ranks by OSA distance (adjacent swap costs
+        1 — Lucene/tantivy transposition_cost_one), same option as
+        fuzzy terms; the SymSpell deletion neighborhood covers swaps
+        at the same depth, so the sidecar ladder is unchanged.
+        Pytest-oracled only (DuckDB's damerau_levenshtein is the
+        UNRESTRICTED distance, see _lev_eds)."""
         ranked: list[tuple[int, int, str]] = []
         side = self._sidecar_candidate_pairs(token, d)
         if side is not None:
             for t, f in side:
                 if t == token:
                     continue
-                ed = _lev_scalar(token, t)
+                ed = (_osa_scalar(token, t, transpose=True)
+                      if transpositions else _lev_scalar(token, t))
                 if ed <= d:
                     ranked.append((ed, -f, t))
         else:
@@ -1017,7 +1027,8 @@ class IndexReader:
                         if b.num_rows == 0:
                             continue
                         terms = b["term"].to_pylist()
-                        eds = _lev_eds(terms, token, d)
+                        eds = _lev_eds(terms, token, d,
+                                       transpose=transpositions)
                         m = eds <= d
                         if m.any():
                             dfv = b["df"].to_numpy(
@@ -1043,7 +1054,8 @@ class IndexReader:
                         continue
                     terms = batch["term"].to_pylist()
                     dfv = batch["df"].to_numpy(zero_copy_only=False)
-                    eds = _lev_eds(terms, token, d)
+                    eds = _lev_eds(terms, token, d,
+                                   transpose=transpositions)
                     for t, f, e in zip(terms, dfv, eds):
                         if e <= d and t != token and ":" not in t:
                             ranked.append((int(e), -int(f), t))
@@ -1051,7 +1063,8 @@ class IndexReader:
         ranked.sort()
         return [(t, ed, -nf) for ed, nf, t in ranked[:k]]
 
-    def suggest(self, query: str, d: int = 2
+    def suggest(self, query: str, d: int = 2,
+                transpositions: bool = False
                 ) -> tuple[str, dict[str, list[tuple[str, int, int]]]]:
         """Did-you-mean over a whole query (the reference's spell
         correction surface, crates/web-spell wired into the API
@@ -1069,7 +1082,8 @@ class IndexReader:
             if dfs.get(t, 0) > 0:
                 out_toks.append(t)
                 continue
-            s = self.suggest_terms(t, d=d, k=3)
+            s = self.suggest_terms(t, d=d, k=3,
+                                   transpositions=transpositions)
             sugg[t] = s
             out_toks.append(s[0][0] if s else t)
         return " ".join(out_toks), sugg

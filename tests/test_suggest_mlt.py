@@ -123,3 +123,64 @@ def test_more_like_this_self_is_top(sreader):
 
     with pytest.raises(ValueError):
         sreader.more_like_this(10**9)
+
+
+def _brute_suggest_osa(docs_pdf, token, d, k):
+    from collections import Counter
+
+    from cuely_spark.queryengine.executor import _osa_scalar
+
+    df = Counter()
+    for t in docs_pdf.text:
+        for w in set(t.split()):
+            df[w] += 1
+    cands = [(ed, -f, w) for w, f in df.items()
+             if (ed := _osa_scalar(token, w, transpose=True)) <= d
+             and w != token]
+    return [(w, ed, -nf) for ed, nf, w in sorted(cands)[:k]]
+
+
+def test_suggest_transpositions_matches_brute_force(sreader, docs_pdf):
+    # 'emrge' is one SWAP from 'merge' (OSA ed 1, plain Lev ed 2):
+    # with transpositions it must rank merge at distance 1
+    for tok, d in (("emrge", 1), ("tabel", 2), ("soqt", 1)):
+        got = sreader.suggest_terms(tok, d=d, k=3, transpositions=True)
+        assert got == _brute_suggest_osa(docs_pdf, tok, d, 3), tok
+    assert sreader.suggest_terms("emrge", d=1, k=3,
+                                 transpositions=True)[0][:2] == \
+        ("merge", 1)
+    # plain Levenshtein can't see the swap at d=1
+    assert all(t != "merge" for t, _, _ in
+               sreader.suggest_terms("emrge", d=1, k=3))
+
+
+def test_suggest_transpositions_paths_agree(sreader):
+    import os
+    import shutil
+
+    toks = ["emrge", "tabel"]
+    base = {t: sreader.suggest_terms(t, d=2, k=3, transpositions=True)
+            for t in toks}
+    side = os.path.join(sreader.path, "fuzzy_deletes")
+    shutil.rmtree(side, ignore_errors=True)
+    try:
+        sreader.build_fuzzy_sidecar(max_d=2)
+        for t in toks:
+            assert sreader.suggest_terms(
+                t, d=2, k=3, transpositions=True) == base[t], t
+    finally:
+        shutil.rmtree(side, ignore_errors=True)
+    old = sreader.vocab_scan_threshold
+    sreader.vocab_scan_threshold = 1  # force distributed
+    try:
+        for t in toks:
+            assert sreader.suggest_terms(
+                t, d=2, k=3, transpositions=True) == base[t], t
+    finally:
+        sreader.vocab_scan_threshold = old
+
+
+def test_suggest_query_transpositions(sreader):
+    corrected, _ = sreader.suggest("emrge table", d=1,
+                                   transpositions=True)
+    assert corrected == "merge table"
