@@ -201,6 +201,25 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     return dst
 
 
+def _ensure_diverse_index(spark: SparkSession, sf_dir: str) -> str:
+    """Single-segment index with a stored simhash column: on one
+    segment the engine's two-level greedy equals the global greedy, so
+    the recursive-CTE oracle can replay the BucketCollector exactly."""
+    from cuely_spark.indexer import build_index
+
+    key = hashlib.md5(
+        f"diverse-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, key)
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        build_index(spark, docs, out, text_col="text",
+                    doc_id_col="doc_id", rows_per_segment=10 ** 9,
+                    num_jobs=1, attr_cols=("lang", "source"),
+                    store_simhash=True)
+    return out
+
+
 def _ensure_bm25f_index(spark: SparkSession, sf_dir: str) -> str:
     """Two-field index for BM25F: primary `text` plus a derived `title`
     field (source tag + the first two text tokens) — short per-doc
@@ -446,6 +465,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"),
                           "total")
     out["ft_batch_count"] = ft_batch_count
+
+    def ft_diverse(spark, sf_dir):
+        """Diversity-re-ranked SERP (BucketCollector analog): greedy
+        selection with source/lang bucket penalties + simhash near-dup
+        deferral, on a single-segment index so the oracle's recursive
+        CTE replays the exact greedy."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_diverse_index(spark, sf_dir))
+        d, s = r.search_diverse(
+            "merge", k=10, penalties={"source": 0.5, "lang": 1.0},
+            de_rank_similar=True, dtype=np.float64)
+        rows = [(i + 1, int(doc), float(sc))
+                for i, (doc, sc) in enumerate(zip(d, s))]
+        df = spark.createDataFrame(rows,
+                                   "rank int, doc_id long, "
+                                   "score double")
+        return df.select("rank", "doc_id",
+                         F.round(F.col("score"), 4).alias("score"))
+    out["ft_diverse"] = ft_diverse
     out["ft_term_stats"] = _ft_term_stats
     out["ft_doc_stats"] = _ft_doc_stats
 
@@ -820,7 +861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # doubly pinned by ft_filter_lang_all (head this round) +
             # test_filters; the scored-union surface by ft_dismax
             # (head) + test_union_wand
-            "ft_filter_not_source", "ft_or_topk"]
+            "ft_filter_not_source", "ft_or_topk",
+            # head room for ft_diverse: the banded LSH-kNN surface
+            # stays pinned by knn_lsh_indexed (same banded plan, head)
+            # + test_ops
+            "knn_lsh"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1151,6 +1196,68 @@ FROM embeddings e,
              sqrt(list_dot_product(embedding::DOUBLE[],
                                    embedding::DOUBLE[])) AS qn
       FROM embeddings WHERE vec_id = 0) q"""
+    # BucketCollector greedy replayed exactly: single-segment engine
+    # index => two-level greedy == this global greedy. One doc is
+    # consumed per recursion step (picked or deferred as a near-dup),
+    # so the recursion is bounded by the candidate count.
+    _p0, _p1, _kk = 0.5, 1.0, 10
+    out["ft_diverse"] = f"""
+WITH RECURSIVE {simhash_ctes(60)},
+scored AS (
+  SELECT t.doc_id, t.score
+  FROM ({bm25_search_sql('merge', k=None, round_to=None)}) t),
+cand AS (
+  SELECT s.doc_id, s.score,
+         {h("coalesce(d.source, '')")} AS b0,
+         {h("coalesce(d.lang, '')")} AS b1,
+         simt.simhash AS sim
+  FROM scored s
+  JOIN documents d USING (doc_id)
+  JOIN simt USING (doc_id)),
+sel AS (
+  SELECT 1 AS step,
+         [(SELECT struct_pack(d := doc_id, sc := score, b0 := b0,
+                              b1 := b1, sm := sim)
+           FROM cand ORDER BY score DESC, doc_id ASC LIMIT 1)] AS picks,
+         CAST([] AS STRUCT(d BIGINT, sc DOUBLE, b0 BIGINT, b1 BIGINT,
+                           sm BIGINT)[]) AS dups
+  UNION ALL
+  SELECT q.step + 1,
+         CASE WHEN q.isdup THEN q.picks
+              ELSE list_append(q.picks, q.nx) END,
+         CASE WHEN q.isdup THEN list_append(q.dups, q.nx)
+              ELSE q.dups END
+  FROM (
+    SELECT s.step, s.picks, s.dups, n.nx,
+           (n.nx.sm != 0 AND EXISTS (
+              SELECT 1 FROM (SELECT unnest(s.picks) AS p)
+              WHERE p.sm != 0
+                AND bit_count(xor(p.sm, n.nx.sm)) <= 3)) AS isdup
+    FROM sel s, LATERAL (
+      SELECT struct_pack(d := c.doc_id, sc := c.score, b0 := c.b0,
+                         b1 := c.b1, sm := c.sim) AS nx
+      FROM cand c
+      WHERE NOT list_contains(list_transform(s.picks, p -> p.d),
+                              c.doc_id)
+        AND NOT list_contains(list_transform(s.dups, p -> p.d),
+                              c.doc_id)
+      ORDER BY c.score / (1.0
+          + {_p0} * len(list_filter(s.picks, p -> p.b0 = c.b0))
+          + {_p1} * len(list_filter(s.picks, p -> p.b1 = c.b1))) DESC,
+        c.doc_id ASC
+      LIMIT 1) n
+    WHERE len(s.picks) < {_kk}) q
+),
+fin AS (
+  SELECT list_concat(
+           picks,
+           dups[1:greatest(0, {_kk} - len(picks))]) AS l
+  FROM sel ORDER BY step DESC LIMIT 1)
+SELECT u.rank::INT AS rank, u.d AS doc_id, round(u.sc, 4) AS score
+FROM (SELECT unnest(list_transform(
+         l, (p, i) -> struct_pack(rank := i, d := p.d, sc := p.sc)))
+      AS u FROM fin) t"""
+
     out["knn_scores_all"] = knn_base
     out["knn_topk"] = knn_base + "\nORDER BY cosine DESC, vec_id ASC LIMIT 10"
     # ANN pipelines are deterministic (md5 hyperplanes / rank-init kmeans

@@ -277,6 +277,7 @@ def build_index(
     stem_lang_col: str | None = None,
     fuzzy_sidecar: bool = True,
     fuzzy_sidecar_d: int = 1,
+    store_simhash: bool = False,
 ) -> IndexPaths:
     """Build a full-text index for `df` at `out_path`.
 
@@ -302,9 +303,31 @@ def build_index(
     IndexReader.search_bm25f (reference data model: one inverted index
     per text field, schema/text_field.rs:97-130; BM25F scoring,
     ranking/bm25f.rs:64-181).
+
+    `store_simhash`: add a 60-bit text simhash column to the row store
+    (the reference computes simhash at index time into a SimHash
+    columnfield, crates/core/src/simhash.rs wired through
+    collector/top_docs.rs:168-175) — enables
+    IndexReader.search_diverse(de_rank_similar=True). One extra
+    distinct+groupBy+join over the corpus at build; same
+    oracle-checkable md5-h60 sketch as ops.dedup.simhash.
     """
     assert not (doc_id_col and score_col), \
         "score-sorted ids and user-supplied ids are mutually exclusive"
+    if store_simhash:
+        from ..ops.dedup import simhash as _simhash_op
+
+        # simhash is a pure function of the text, so compute it once
+        # per DISTINCT text (dedup-friendly corpora pay less) and join
+        # back on a text digest — no per-doc-id bookkeeping needed
+        uniq = (df.select(text_col).distinct()
+                .withColumn("__tid", F.md5(F.col(text_col))))
+        sh = (_simhash_op(uniq, text_col=text_col, id_col="__tid")
+              .withColumnRenamed("doc_id", "__tid"))
+        df = (df.withColumn("__tid", F.md5(F.col(text_col)))
+              .join(sh, "__tid", "left").drop("__tid")
+              .withColumn("simhash",
+                          F.coalesce(F.col("simhash"), F.lit(0))))
     paths = IndexPaths(out_path)
     fsio.makedirs(paths.manifest_dir)
     t0 = time.time()

@@ -324,6 +324,66 @@ def _range_lookup(turns_path: str, seg_dirs: list[int], specs: list,
     return fn
 
 
+def _cols_lookup(turns_path: str, seg_dirs: list[int],
+                 cols: list[str], offsets: dict | None):
+    """cand -> {col: np.ndarray} row-store column values for candidate
+    docs, via the same executor-local partition-pruned pyarrow read as
+    `_range_lookup` (the columnfield/fast-field reader analog,
+    collector/top_docs.rs:168-196 reading SiteHash/TitleHash/SimHash
+    per collected doc). String columns come back as object arrays
+    (hashed by the caller); missing docs get None/0."""
+    cache: dict = {}
+
+    def fn(cand: np.ndarray) -> dict:
+        if "t" not in cache:
+            import pyarrow.dataset as ds
+
+            ids_parts, col_parts = [], {c: [] for c in cols}
+            for sd in seg_dirs:
+                p = os.path.join(turns_path, f"segment_id={sd}")
+                dset = ds.dataset(p, format="parquet")
+                idcol = ("doc_id" if "doc_id" in dset.schema.names
+                         else "__ord")
+                tbl = dset.to_table(columns=[idcol] + cols)
+                ids = np.asarray(tbl[idcol].to_numpy(), dtype=np.int64)
+                if idcol == "__ord":
+                    ids = ids + int(offsets[str(sd)])
+                ids_parts.append(ids)
+                for c in cols:
+                    col_parts[c].append(
+                        tbl[c].to_numpy(zero_copy_only=False))
+            ids = np.concatenate(ids_parts)
+            o = np.argsort(ids)
+            cache["t"] = (ids[o],
+                          {c: np.concatenate(col_parts[c])[o]
+                           for c in cols})
+        ids, vals = cache["t"]
+        pos = np.clip(np.searchsorted(ids, cand), 0, ids.size - 1)
+        ok = ids[pos] == cand if ids.size else np.zeros(cand.size, bool)
+        out = {}
+        for c in cols:
+            v = np.empty(cand.size, dtype=object)
+            v[ok] = vals[c][pos[ok]]
+            out[c] = v
+        return out
+
+    return fn
+
+
+def _bucket_ids(values: np.ndarray) -> np.ndarray:
+    """Object array of attribute values -> int64 bucket ids, globally
+    consistent across segments (md5-based h60 of the string value;
+    None hashes as '')."""
+    from ..ops.hashing import h60_py
+
+    svals = np.array(["" if v is None else str(v) for v in values],
+                     dtype=object)
+    uniq, inv = np.unique(svals, return_inverse=True)
+    hashed = np.fromiter((h60_py(u) for u in uniq), dtype=np.int64,
+                         count=uniq.size)
+    return hashed[inv]
+
+
 def _lev_within(a: str, b: str, d: int,
                 transpose: bool = False) -> bool:
     """Exact ed <= d check (full DP with an early-out row minimum —
@@ -2543,6 +2603,178 @@ class IndexReader:
         order = np.lexsort((docs, -scores))
         sel = order[offset:offset + k]
         return docs[sel], scores[sel].astype(dtype), Count(n, exact)
+
+    def search_diverse(self, query, k: int = TOP_K_DEFAULT,
+                       penalties: dict[str, float] | None = None,
+                       de_rank_similar: bool = True,
+                       dtype=np.float32,
+                       max_docs_per_segment: int | None = 250_000,
+                       hamming_k: int = 3,
+                       compound_terms: bool | None = None,
+                       stemmed: bool | None = None,
+                       lang: str | None = None):
+        """Diversity-re-ranked top-k — the reference's BucketCollector
+        SERP path (crates/core/src/collector/top_docs.rs:246-363 +
+        crates/core/src/searcher/api/mod.rs:459): the greedy selection
+        repeatedly takes the best doc by
+        raw_score / (1 + Σ_col taken(bucket) × penalty), so results
+        sharing a bucket (same conversation, same source, near-equal
+        text) with already-picked results are pushed down the page.
+
+        penalties: {row_store_column: penalty} — the site/url/title
+        penalty table analog (defaults.rs:22-36: site 0.1, title 1.0,
+        url 20.0; here the caller names the columns, e.g.
+        {"conv_id": 0.1, "source": 1.0}). Bucket identity is the
+        md5-h60 of the column value, consistent across segments.
+
+        de_rank_similar: near-duplicate suppression — a candidate
+        whose stored 60-bit simhash is within `hamming_k` bits of an
+        already-picked doc is deferred behind the diversified picks
+        (simhash.rs Table, K=3; into_sorted_vec(true)). Requires an
+        index built with `store_simhash=True` (the SimHash
+        columnfield analog).
+
+        Two-level greedy exactly like the reference: each segment
+        diversifies its own candidates (bounded by
+        max_docs_per_segment = max_docs_considered, defaults.rs:38-40)
+        and ships only its top-k picks with their bucket ids; the
+        driver re-runs the same greedy over segments × k rows (the
+        root searcher's second into_sorted_vec). On a single-segment
+        index this equals the global greedy — pinned by tests.
+
+        Conjunctive queries only (terms/phrases/filters/negations +
+        compound/stem augmentation). Returns (doc_ids, scores) in
+        final diversified rank order; scores are the RAW BM25 scores
+        (the adjustment orders, it does not rescore — ScoredDoc keeps
+        doc.score()).
+        """
+        from pyspark.sql import functions as F
+
+        from .kernel import diversity_rerank
+
+        pq = parse_query(query) if isinstance(query, str) else query
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            raise ValueError("search_diverse needs a posting-backed "
+                             "positive clause")
+        if any(c.kind in ("range", "exists", "all")
+               for c in pq.positive):
+            raise ValueError("search_diverse takes conjunctive "
+                             "term/phrase/filter queries")
+        pen_cols = list(penalties or {})
+        pen_vals = [float(penalties[c]) for c in pen_cols]
+        if pen_cols:
+            self._validate_range_cols([(c,) for c in pen_cols])
+        sim_col = None
+        if de_rank_similar:
+            try:
+                self._validate_range_cols([("simhash",)])
+            except ValueError:
+                raise ValueError(
+                    "de_rank_similar needs a stored simhash column — "
+                    "build the index with store_simhash=True (or pass "
+                    "de_rank_similar=False)") from None
+            sim_col = "simhash"
+        compounds, c_terms = self._plan_alternatives(
+            pq, compound_terms, stemmed, lang=lang)
+        dfs = self.term_dfs(list(dict.fromkeys(
+            pq.all_terms() + c_terms)))
+        compounds = self._prune_dead_alts(compounds, dfs)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+        if self._dead_clause(pq, compounds, dfs):
+            return empty
+        weights = self._weights(pq, dfs, dtype)
+        for t in c_terms:
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self.avg_fieldnorm, dtype=dtype)
+        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        cols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(
+                        list(dict.fromkeys(pq.all_terms() + c_terms))))
+                    .select(*cols))
+        troot = self._turns_path
+        ssrc = self._seg_sources()
+        offs = self._offsets
+        cap = max_docs_per_segment
+        look_cols = pen_cols + ([sim_col] if sim_col else [])
+        kk = int(k)
+        hk = int(hamming_k)
+
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            d_o, s_o, g_o = [], [], []
+            sim_o = []
+            b_o: list[list] = [[] for _ in pen_cols]
+            for seg, by_term in _group_arrow_postings(tbl):
+                specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                          compounds=compounds)
+                # full per-segment candidate set (bounded by the
+                # considered-docs cap), scored and sorted
+                docs, scores = segment_topk(specs, negs, 1 << 62,
+                                            dtype=dtype, max_docs=cap)
+                if docs.size == 0:
+                    continue
+                vals = {}
+                if look_cols:
+                    dirs = ssrc.get(seg, [seg]) if ssrc else [seg]
+                    vals = _cols_lookup(troot, dirs, look_cols,
+                                        offs)(docs)
+                bks = [_bucket_ids(vals[c]) for c in pen_cols]
+                sims = None
+                if sim_col:
+                    sims = np.array(
+                        [0 if v is None else int(v)
+                         for v in vals[sim_col]], dtype=np.int64)
+                order, _nd = diversity_rerank(
+                    docs, scores, bks, pen_vals, kk,
+                    simhashes=sims, hamming_k=hk)
+                d_o.append(docs[order].astype(np.int64))
+                s_o.append(scores[order].astype(np.float64))
+                g_o.append(np.full(order.size, seg, dtype=np.int64))
+                sim_o.append(sims[order] if sims is not None
+                             else np.zeros(order.size, dtype=np.int64))
+                for ci in range(len(pen_cols)):
+                    b_o[ci].append(bks[ci][order])
+            if not d_o:
+                return
+            arrs = [pa.array(np.concatenate(d_o)),
+                    pa.array(np.concatenate(s_o)),
+                    pa.array(np.concatenate(g_o)),
+                    pa.array(np.concatenate(sim_o))]
+            names = ["doc_id", "score", "segment_id", "sim"]
+            for ci in range(len(pen_cols)):
+                arrs.append(pa.array(np.concatenate(b_o[ci])))
+                names.append(f"b{ci}")
+            yield pa.record_batch(arrs, names=names)
+
+        schema = ("doc_id long, score double, segment_id long, "
+                  "sim long"
+                  + "".join(f", b{ci} long"
+                            for ci in range(len(pen_cols))))
+        est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
+        if est_blocks <= self.small_query_blocks:
+            shaped = postings.repartition(1)
+        else:
+            shaped = postings.repartition(F.col("segment_id"))
+        rows = shaped.mapInArrow(run_arrow, schema=schema).collect()
+        if not rows:
+            return empty
+        # root harvest: the SAME greedy over segments × k picks
+        docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        scores = np.array([r["score"] for r in rows], dtype=np.float64)
+        sims = (np.array([r["sim"] for r in rows], dtype=np.int64)
+                if sim_col else None)
+        bks = [np.array([r[f"b{ci}"] for r in rows], dtype=np.int64)
+               for ci in range(len(pen_cols))]
+        order, _nd = diversity_rerank(docs, scores, bks, pen_vals, kk,
+                                      simhashes=sims, hamming_k=hk)
+        return docs[order], scores[order].astype(dtype)
 
     # ------------------------------------------------------------------
     def count(self, query: str | ParsedQuery,

@@ -1015,3 +1015,67 @@ def count_matches(
         if total >= max_docs:
             return max_docs
     return total
+
+
+def diversity_rerank(
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    buckets: list[np.ndarray],
+    penalties: list[float],
+    k: int,
+    simhashes: np.ndarray | None = None,
+    hamming_k: int = 3,
+):
+    """Greedy diversity selection — the reference's BucketCollector
+    (crates/core/src/collector/top_docs.rs:246-363): repeatedly take
+    the doc with the highest ADJUSTED score, where
+    adjusted = raw / (1 + Σ_c taken_c(bucket_c(doc)) × penalty_c)
+    and taken_c counts already-selected docs sharing the doc's bucket
+    in penalty column c (defaults.rs:22-36: site 0.1, title 1.0,
+    url 20.0). With `simhashes`, a candidate whose simhash is within
+    `hamming_k` bits of any ALREADY-SELECTED doc is deferred
+    (simhash.rs Table, K=3) and re-appended after the diversified
+    picks, up to k — into_sorted_vec(true) semantics.
+
+    Ties on adjusted score break doc_id asc (the reference's heap
+    order is unspecified on exact ties; doc_id asc matches every other
+    tie-break in this engine and makes the operator deterministic).
+
+    Returns (order, n_diverse): int64 indices into the input arrays in
+    final rank order (selected picks then deferred near-dups), and how
+    many of them are diversified picks (the rest are dups backfill).
+    O(n·k) — n is bounded by the ShortCircuit candidate cap per
+    segment, k by the page size.
+    """
+    n = int(doc_ids.size)
+    if n == 0 or k <= 0:
+        return np.empty(0, dtype=np.int64), 0
+    pen = np.zeros(n, dtype=np.float64)
+    alive = np.ones(n, dtype=bool)
+    raw = scores.astype(np.float64)
+    selected: list[int] = []
+    dups: list[int] = []
+    taken_sims: list[int] = []
+    while len(selected) < k and alive.any():
+        adj = np.where(alive, raw / (1.0 + pen), -np.inf)
+        best = adj.max()
+        cand_idx = np.nonzero(alive & (adj == best))[0]
+        i = int(cand_idx[np.argmin(doc_ids[cand_idx])])
+        alive[i] = False
+        if simhashes is not None:
+            h = int(simhashes[i])
+            if h != 0 and any(
+                    bin(h ^ t).count("1") <= hamming_k
+                    for t in taken_sims):
+                dups.append(i)
+                continue
+            if h != 0:
+                taken_sims.append(h)
+        selected.append(i)
+        # bucket counts bump by one -> penalty grows for every doc
+        # sharing a bucket with the pick (update_counts + the lazy
+        # re-adjust loop, collapsed into an eager vectorized update)
+        for c, p in enumerate(penalties):
+            pen[buckets[c] == buckets[c][i]] += p
+    order = selected + dups[: max(0, k - len(selected))]
+    return np.asarray(order, dtype=np.int64), len(selected)
