@@ -135,7 +135,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
     qs = entry.queries()
     for name in ["ft_topk20", "ft_and_all", "ft_phrase_all",
                  "ft_bm25f", "ft_optic",
-                 "ft_range", "ft_suggest", "ft_mlt",
+                 "ft_range", "ft_suggest", "ft_mlt", "ft_diverse",
                  "knn_topk", "dedup_simhash", "text_quality"]:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (includes doc index build)
