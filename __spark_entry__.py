@@ -703,6 +703,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_mlt"] = ft_mlt
 
+    def ft_explain(spark, sf_dir):
+        """Explain API (tantivy Query::explain / Lucene format): the
+        top-1 doc of 'merge table', one row per query term with the
+        BM25 breakdown (freq, quantized dl, idf, tf_factor, term
+        score) from the explanation tree."""
+        import numpy as np
+
+        r = _reader(spark, sf_dir)
+        q = "merge table"
+        docs, _ = r.search_local(q, k=1, dtype=np.float64)
+        doc = int(docs[0])
+        exp = r.explain(q, doc, dtype=np.float64)
+        rows = []
+        for leaf in exp.leaves():
+            term = leaf.context[0][len("Term='"):-1]
+            tf_node = leaf.details[2]
+            rows.append((doc, term,
+                         float(tf_node.details[0].value),   # freq
+                         float(tf_node.details[3].value),   # dl
+                         round(float(leaf.details[1].value), 6),
+                         round(float(tf_node.value), 6),
+                         round(float(leaf.value), 4)))
+        rows.sort(key=lambda x: x[1])
+        return spark.createDataFrame(
+            rows, "doc_id long, term string, freq double, dl double, "
+                  "idf double, tf_factor double, term_score double")
+    out["ft_explain"] = ft_explain
+
     # --- dedup over documents ---
     out["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     out["dedup_minhash_sigs"] = (
@@ -865,7 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # head room for ft_diverse: the banded LSH-kNN surface
             # stays pinned by knn_lsh_indexed (same banded plan, head)
             # + test_ops
-            "knn_lsh"]
+            "knn_lsh",
+            # new this round, tail-first (head is full at the driver's
+            # 50-entry cap): verified by scripts/check_correctness.py
+            # + tests/test_explain.py; rotate into the head next round
+            "ft_explain"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -911,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["ft_suggest"] = suggest_sql(["mergr", "tabel"], d=2, k=3)
     out["ft_mlt"] = mlt_sql(42, max_terms=5, k=None)
+    from cuely_spark.oracle_sql import explain_sql
+
+    out["ft_explain"] = explain_sql(("merge", "table"))
     out["ft_batch_queries"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None) + ")"

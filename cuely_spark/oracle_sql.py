@@ -735,6 +735,61 @@ ORDER BY score DESC, doc_id ASC"""
     return sql
 
 
+def explain_sql(tokens: tuple[str, ...],
+                table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """Explain oracle: take the top-1 doc of the conjunctive query over
+    `tokens` (score desc, doc_id asc — rank-identical to the engine),
+    then emit one row per query term with the Lucene-format BM25
+    breakdown the engine's explain() produces (tantivy bm25.rs:198-228):
+    freq, dl (the QUANTIZED fieldnorm, id_to_fieldnorm), idf,
+    tf_factor = freq/(freq+norm), and the term's score contribution."""
+    base = base_ctes(table, text_col, id_col)
+    terms_in = ", ".join(_q(t) for t in tokens)
+    n = len(tokens)
+    return f"""WITH {base},
+tfq AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({terms_in}) GROUP BY term
+),
+cand AS (
+  SELECT q.doc_id, q.fnq FROM dlq q
+  WHERE (SELECT count(DISTINCT term) FROM tfq t
+         WHERE t.doc_id = q.doc_id) = {n}
+),
+scored AS (
+  SELECT cand.doc_id, cand.fnq,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2) / (t.tf + 1.2 *
+                (1 - 0.75 + 0.75 * cand.fnq / s.avgfn))) AS score
+  FROM cand
+  JOIN tfq t USING (doc_id) JOIN dfs d USING (term)
+  CROSS JOIN stats s
+  GROUP BY cand.doc_id, cand.fnq
+),
+top1 AS (SELECT doc_id, fnq FROM scored
+         ORDER BY score DESC, doc_id LIMIT 1)
+SELECT top1.doc_id::BIGINT AS doc_id,
+       t.term AS term,
+       t.tf AS freq,
+       top1.fnq::DOUBLE AS dl,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       round(t.tf / (t.tf + 1.2 *
+             (1 - 0.75 + 0.75 * top1.fnq / s.avgfn)), 6) AS tf_factor,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2) / (t.tf + 1.2 *
+                (1 - 0.75 + 0.75 * top1.fnq / s.avgfn)), 4)
+           AS term_score
+FROM top1
+JOIN tfq t USING (doc_id) JOIN dfs d USING (term)
+CROSS JOIN stats s
+ORDER BY term"""
+
+
 def suggest_sql(tokens: list[str], d: int = 2, k: int = 3,
                 table: str = "documents", text_col: str = "text",
                 id_col: str = "doc_id") -> str:

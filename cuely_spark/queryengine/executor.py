@@ -2899,6 +2899,27 @@ class IndexReader:
         pq = ParsedQuery([Clause("term", (t,)) for t in sel])
         return self.search(pq, k=k, dtype=dtype, occur="should")
 
+    def explain(self, query, doc_id: int, dtype=np.float32, **kwargs):
+        """Score-explanation tree for one (query, doc) pair — the
+        tantivy `Query::explain` surface (crates/tantivy/src/query/
+        explanation.rs, query.rs:138). Same planning and arithmetic as
+        :meth:`search_local`, evaluated for a single document via
+        pruned per-doc posting lookups (no scan, no Spark job — at any
+        corpus size explain reads a handful of row-groups).
+
+        Returns :class:`~cuely_spark.queryengine.explain.Explanation`
+        (``.to_dict()`` / ``.to_pretty_json()``); raises
+        :class:`~cuely_spark.queryengine.explain.DoesNotMatch` when the
+        doc does not match. kwargs mirror search_local (occur, should,
+        tie_breaker, const_score, compound_terms, stemmed, lang,
+        fuzzy_transpositions). The root value equals the engine score
+        for this doc at the same dtype (pinned by tests/test_explain).
+        BM25F explain is not implemented — use :meth:`signals` for
+        per-field diagnostics."""
+        from .explain import explain_doc
+
+        return explain_doc(self, query, doc_id, dtype=dtype, **kwargs)
+
     # ------------------------------------------------------------------
     # generic point queries (reference: crates/core/src/generic_query/)
     def get_turn(self, conv_id: str, turn_idx: int):
