@@ -501,6 +501,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _reader(spark, sf_dir).top_key_phrases(k=15)
     out["ft_top_key_phrases"] = ft_top_key_phrases
 
+    def ft_autosuggest(spark, sf_dir):
+        """Autosuggest (autosuggest.rs): prefix completion over the
+        index's key phrases — lexicographic 64-stream cap, score-desc
+        stable ranking, top-10 returned alphabetically."""
+        from cuely_spark.queryengine.autosuggest import Autosuggest
+
+        r = _reader(spark, sf_dir)
+        a = Autosuggest.from_key_phrases(r, k=10000)
+        rows = [(i + 1, s) for i, s in enumerate(a.suggestions("s"))]
+        return spark.createDataFrame(
+            rows, "rank long, suggestion string")
+    out["ft_autosuggest"] = ft_autosuggest
+
     def ft_live_search(spark, sf_dir):
         """Search an index built through the streaming micro-batch path
         (executor-side segment builds) — same oracle as the bulk index."""
@@ -817,6 +830,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_langid"] = lambda s, d: textstats.lang_id(_docs(s, d))
     out["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
+    def nb_classify(spark, sf_dir):
+        """TF-IDF + Naive Bayes pipeline (naive_bayes.rs / safety
+        classifier analog): fit on even-id docs labeled by `lang`,
+        predict the odd-id half."""
+        from cuely_spark.ops.classify import fit_nb, predict_nb
+
+        docs = _docs(spark, sf_dir)
+        model = fit_nb(
+            docs.filter((F.col("doc_id") % 2 == 0)
+                        & F.col("lang").isNotNull()), "lang")
+        res = predict_nb(model, docs.filter(F.col("doc_id") % 2 == 1))
+        return res.select(
+            "doc_id", "label",
+            F.round("confidence", 4).alias("confidence"))
+    out["nb_classify"] = nb_classify
+
     # --- events: tumbling-window aggregation (batch form of the
     #     streaming micro-segment pipeline) ---
     def events_windowed(s, d):
@@ -896,8 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "knn_lsh",
             # new this round, tail-first (head is full at the driver's
             # 50-entry cap): verified by scripts/check_correctness.py
-            # + tests/test_explain.py; rotate into the head next round
-            "ft_explain"]
+            # + tests; rotate into the head next round
+            "ft_explain", "nb_classify", "ft_autosuggest"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -946,6 +975,27 @@ def oracle_sql() -> dict[str, str]:
     from cuely_spark.oracle_sql import explain_sql
 
     out["ft_explain"] = explain_sql(("merge", "table"))
+    from cuely_spark.oracle_sql import nb_classify_sql
+
+    out["nb_classify"] = nb_classify_sql()
+    out["ft_autosuggest"] = f"""
+WITH {base_ctes()},
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df,
+         count(*)::DOUBLE AS ttf
+  FROM tok GROUP BY term
+),
+kp AS (
+  SELECT term, round(ttf * ln(1 + ((SELECT n FROM stats) - df + 0.5)
+                              / (df + 0.5)), 4) AS score
+  FROM ts ORDER BY score DESC, term ASC LIMIT 10000
+),
+st AS (SELECT term, score FROM kp WHERE starts_with(term, 's')
+       ORDER BY term LIMIT 64),
+top AS (SELECT term FROM st ORDER BY score DESC, term ASC LIMIT 10)
+SELECT row_number() OVER (ORDER BY term)::BIGINT AS rank,
+       term AS suggestion
+FROM top ORDER BY rank"""
     out["ft_batch_queries"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None) + ")"

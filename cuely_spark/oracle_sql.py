@@ -919,6 +919,82 @@ def doc_stats_sql(table: str = "documents", text_col: str = "text",
 # ---------------------------------------------------------------------------
 # dedup oracles
 
+def nb_classify_sql(label_col: str = "lang", table: str = "documents",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    round_to: int = 4) -> str:
+    """Naive-Bayes classify oracle mirroring ops.classify exactly
+    (reference arithmetic, naive_bayes.rs): train on even ids with a
+    non-null label, predict odd ids; whitespace tokens, idf =
+    ln(N/(1+df))+1, Laplace per-class log-probs, 0.5 unseen default,
+    MIN-log-prob selection (label asc ties), confidence = best/sum
+    clamped >= 0."""
+    return f"""WITH train AS (
+  SELECT {id_col} AS doc_id, {label_col} AS label, {text_col} AS text
+  FROM {table} WHERE {id_col} % 2 = 0 AND {label_col} IS NOT NULL
+),
+tst AS (SELECT {id_col} AS doc_id, {text_col} AS text
+        FROM {table} WHERE {id_col} % 2 = 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM train),
+ttf AS (
+  SELECT doc_id, label, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, label,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM train)
+  WHERE term != '' GROUP BY doc_id, label, term
+),
+idf AS (
+  SELECT term,
+         ln((SELECT n FROM nstat) / (1 + count(*))) + 1.0 AS idf
+  FROM ttf GROUP BY term
+),
+val AS (SELECT t.doc_id, t.label, t.term, t.tf * i.idf AS value
+        FROM ttf t JOIN idf i USING (term)),
+tot AS (SELECT label, sum(value) AS total FROM val GROUP BY label),
+flp AS (
+  SELECT v.label, v.term,
+         ln((sum(v.value) + 1.0) / (t.total + 1.0)) AS log_prob
+  FROM val v JOIN tot t USING (label)
+  GROUP BY v.label, v.term, t.total
+),
+priors AS (
+  SELECT label, ln(count(*) / (SELECT n FROM nstat)) AS log_prior
+  FROM train GROUP BY label
+),
+ptf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM tst)
+  WHERE term != '' GROUP BY doc_id, term
+),
+pval AS (SELECT p.doc_id, p.term, p.tf * i.idf AS value
+         FROM ptf p JOIN idf i USING (term)),
+contrib AS (
+  SELECT p.doc_id, c.label,
+         sum(p.value * coalesce(f.log_prob, 0.5)) AS mass
+  FROM pval p CROSS JOIN (SELECT label FROM priors) c
+  LEFT JOIN flp f ON f.label = c.label AND f.term = p.term
+  GROUP BY p.doc_id, c.label
+),
+scored AS (
+  SELECT d.doc_id, pr.label,
+         pr.log_prior + coalesce(co.mass, 0.0) AS lp
+  FROM tst d CROSS JOIN priors pr
+  LEFT JOIN contrib co
+    ON co.doc_id = d.doc_id AND co.label = pr.label
+),
+sel AS (
+  SELECT doc_id, label, lp,
+         sum(lp) OVER (PARTITION BY doc_id) AS s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY lp ASC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, label,
+       round(greatest(lp / s, 0.0), {round_to}) AS confidence
+FROM sel WHERE rn = 1 ORDER BY doc_id"""
+
+
 SHINGLES_CTE = """
 sh AS (
   SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
