@@ -846,6 +846,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("confidence", 4).alias("confidence"))
     out["nb_classify"] = nb_classify
 
+    def rake_keyphrases(spark, sf_dir):
+        """RAKE keyword extraction (rake.rs): per-doc keywords via
+        summary -> stopword-run candidates -> degree/freq scores,
+        entirely in window/groupBy DataFrame ops."""
+        from cuely_spark.ops.rake import rake_keywords
+
+        res = rake_keywords(_docs(spark, sf_dir))
+        return res.select("doc_id", "phrase",
+                          F.round("score", 6).alias("score"))
+    out["rake_keyphrases"] = rake_keyphrases
+
     # --- events: tumbling-window aggregation (batch form of the
     #     streaming micro-segment pipeline) ---
     def events_windowed(s, d):
@@ -926,7 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # new this round, tail-first (head is full at the driver's
             # 50-entry cap): verified by scripts/check_correctness.py
             # + tests; rotate into the head next round
-            "ft_explain", "nb_classify", "ft_autosuggest"]
+            "ft_explain", "nb_classify", "ft_autosuggest",
+            "rake_keyphrases"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -978,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
     from cuely_spark.oracle_sql import nb_classify_sql
 
     out["nb_classify"] = nb_classify_sql()
+    from cuely_spark.oracle_sql import rake_sql
+    from cuely_spark.ops.textstats import STOPWORDS
+
+    out["rake_keyphrases"] = rake_sql(STOPWORDS)
     out["ft_autosuggest"] = f"""
 WITH {base_ctes()},
 ts AS (

@@ -919,6 +919,88 @@ def doc_stats_sql(table: str = "documents", text_col: str = "text",
 # ---------------------------------------------------------------------------
 # dedup oracles
 
+def rake_sql(stopwords: tuple[str, ...], max_words: int = 5,
+             summary_sentences: int = 16, table: str = "documents",
+             text_col: str = "text", id_col: str = "doc_id",
+             round_to: int = 6) -> str:
+    """RAKE keyword oracle mirroring ops.rake.rake_keywords (reference
+    rake.rs): summary top sentences by word frequency, stopword-run
+    phrase candidates (2..max_words), degree/freq scores, dedup, the
+    distinct-words/3 cap BEFORE the length/score filters."""
+    sw = ", ".join(_q(w) for w in stopwords)
+    return f"""WITH sents AS (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS sent_idx,
+         unnest(arr) AS sent
+  FROM (SELECT {id_col} AS doc_id,
+               regexp_split_to_array(lower({text_col}),
+                                     '[,.!?\\n\\r\\t…‥․]') AS arr
+        FROM {table})
+),
+w2 AS (
+  SELECT doc_id, sent_idx, widx, word, word IN ({sw}) AS is_stop
+  FROM (SELECT doc_id, sent_idx,
+               generate_subscripts(w, 1) - 1 AS widx,
+               unnest(w) AS word
+        FROM (SELECT doc_id, sent_idx,
+                     regexp_split_to_array(trim(sent), '\\s+') AS w
+              FROM sents))
+  WHERE word != ''
+),
+freq AS (SELECT doc_id, word, count(*) AS f FROM w2
+         WHERE NOT is_stop GROUP BY doc_id, word),
+sscore AS (
+  SELECT w.doc_id, w.sent_idx, sum(coalesce(f.f, 0)) AS sc
+  FROM w2 w LEFT JOIN freq f USING (doc_id, word)
+  GROUP BY w.doc_id, w.sent_idx
+),
+kept AS (
+  SELECT doc_id, sent_idx FROM (
+    SELECT doc_id, sent_idx,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sc DESC, sent_idx ASC) AS rn
+    FROM sscore)
+  WHERE rn <= {summary_sentences}
+),
+kw AS (
+  SELECT w.*, sum(is_stop::int) OVER (
+      PARTITION BY w.doc_id, w.sent_idx ORDER BY widx) AS phrase_id
+  FROM w2 w JOIN kept USING (doc_id, sent_idx)
+),
+pwords AS (SELECT * FROM kw WHERE NOT is_stop),
+phr AS (
+  SELECT doc_id, sent_idx, phrase_id,
+         string_agg(word, ' ' ORDER BY widx) AS phrase,
+         count(*) AS nwords
+  FROM pwords GROUP BY doc_id, sent_idx, phrase_id
+  HAVING count(*) > 1 AND count(*) <= {max_words}
+),
+pw AS (
+  SELECT p.doc_id, p.sent_idx, p.phrase_id, p.phrase, p.nwords,
+         w.word
+  FROM phr p JOIN pwords w USING (doc_id, sent_idx, phrase_id)
+),
+stats AS (SELECT doc_id, word, count(*)::DOUBLE AS wf,
+                 sum(nwords - 1)::DOUBLE AS wd
+          FROM pw GROUP BY doc_id, word),
+scored AS (
+  SELECT pw.doc_id, pw.sent_idx, pw.phrase_id, pw.phrase,
+         avg(s.wd / s.wf) AS score
+  FROM pw JOIN stats s USING (doc_id, word)
+  GROUP BY pw.doc_id, pw.sent_idx, pw.phrase_id, pw.phrase
+),
+dedup AS (SELECT doc_id, phrase, min(score) AS score
+          FROM scored GROUP BY doc_id, phrase),
+caps AS (SELECT doc_id, (count(DISTINCT word) // 3)::BIGINT AS cap
+         FROM stats GROUP BY doc_id)
+SELECT doc_id, phrase, round(score, {round_to}) AS score
+FROM (SELECT d.doc_id, d.phrase, d.score, c.cap,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY d.score DESC,
+                                         d.phrase ASC) AS rn
+      FROM dedup d JOIN caps c USING (doc_id))
+WHERE rn <= cap AND len(phrase) > 1 AND score > 0.0"""
+
+
 def nb_classify_sql(label_col: str = "lang", table: str = "documents",
                     text_col: str = "text", id_col: str = "doc_id",
                     round_to: int = 4) -> str:
