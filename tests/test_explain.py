@@ -289,3 +289,42 @@ def test_explanation_api():
     assert d == {"value": 2.0, "description": "root",
                  "details": [{"value": 1.0, "description": "c"}],
                  "context": ["ctx"]}
+
+
+# ------------------------------------------------------- randomized fuzz
+def test_explain_fuzz_matches_search(ereader, docs_pdf):
+    """Randomized queries x docs: explain() agrees with search_local
+    on BOTH membership and score — DoesNotMatch iff the doc is absent
+    from the full result set, value == score when present."""
+    r = ereader
+    rng = np.random.default_rng(23)
+    vocab = ["merge", "table", "window", "scan", "sort", "key", "dup",
+             "merged"]
+    queries = []
+    for _ in range(12):
+        n = int(rng.integers(1, 4))
+        toks = list(rng.choice(vocab, n, replace=False))
+        q = " ".join(toks)
+        kind = int(rng.integers(0, 4))
+        if kind == 1 and n >= 2:
+            q = f'"{toks[0]} {toks[1]}"~{int(rng.integers(0, 3))}'
+        elif kind == 2:
+            q = q + " -" + str(rng.choice(
+                [v for v in vocab if v not in toks]))
+        elif kind == 3:
+            q = f"{toks[0]}^{round(float(rng.uniform(0.5, 3)), 1)}" \
+                + (" " + " ".join(toks[1:]) if n > 1 else "")
+        queries.append(q)
+    sample_docs = rng.choice(len(docs_pdf), 15, replace=False)
+    for q in queries:
+        docs, scores = r.search_local(q, k=r.num_docs)
+        by_doc = dict(zip(docs.tolist(), scores.tolist()))
+        for doc in sample_docs:
+            doc = int(doc)
+            if doc in by_doc:
+                exp = r.explain(q, doc)
+                assert exp.value == pytest.approx(
+                    by_doc[doc], rel=1e-6), (q, doc)
+            else:
+                with pytest.raises(DoesNotMatch):
+                    r.explain(q, doc)
