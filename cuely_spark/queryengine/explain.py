@@ -239,9 +239,11 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
         return int(t["segment_id"][0].as_py())
 
     seg = _seg_of(doc)
-    if not reader._offsets and reader._segment_map:
-        # merged index in doc_id-column mode: the row store still holds
-        # pre-merge segment ids; translate to the kernel segment
+    if reader._segment_map:
+        # merged index: _seg_of resolves against the row store (doc_id
+        # mode) or segment_offsets (offsets mode), both of which keep
+        # PRE-merge segment ids; the postings are keyed by the merged
+        # kernel segment, so translate through segment_map either way
         sm = reader._segment_map
         seg = int(sm.get(str(seg), sm.get(seg, seg)))
     ssrc = reader._seg_sources()
