@@ -676,6 +676,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_bm25f"] = ft_bm25f
 
+    def ft_field_term(spark, sf_dir):
+        """Field-scoped scored terms (tantivy `field:term`): boosted
+        title term + plain body term + negated title term ('scan' leads some texts, so it reaches titles), scored with
+        the TITLE field's own df/avg-fieldnorm via the "f:title:*"
+        posting keys; 'src1'/'src3' occur in titles only."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        res = r.search("title:src1^2 merge -title:scan",
+                       k=r.num_docs, dtype=np.float64)
+        return res.select("doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_field_term"] = ft_field_term
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -938,7 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 50-entry cap): verified by scripts/check_correctness.py
             # + tests; rotate into the head next round
             "ft_explain", "nb_classify", "ft_autosuggest",
-            "rake_keyphrases"]
+            "rake_keyphrases", "ft_field_term"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1162,6 +1178,9 @@ FROM m"""
     out["ft_bm25f"] = bm25f_search_sql(
         "merge src1", fields={"text": "text", "title": title_expr},
         coeffs={"title": 2.0}, k=None)
+    out["ft_field_term"] = bm25_search_sql(
+        "title:src1^2 merge -title:scan", k=None,
+        field_exprs={"title": title_expr})
     _f2 = {"text": "text", "title": title_expr}
     out["ft_batch_bm25f"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM (" + sql + ")"

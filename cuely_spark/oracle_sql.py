@@ -213,7 +213,8 @@ def bm25_search_sql(query: str, k: int | None = 20,
                     round_to: int | None = 4,
                     tie: float | None = None,
                     const_score: float | None = None,
-                    attr_exprs: dict[str, str] | None = None) -> str:
+                    attr_exprs: dict[str, str] | None = None,
+                    field_exprs: dict[str, str] | None = None) -> str:
     """BM25 search SQL: (doc_id, score) — score desc, doc_id asc.
     k=None returns ALL matching docs (no LIMIT).
     occur="should" scores the disjunction (term clauses only).
@@ -224,6 +225,11 @@ def bm25_search_sql(query: str, k: int | None = 20,
     columns — maps column name to a SQL expression over the source
     table (alias the source as `ex`, e.g. "CASE WHEN ex.doc_id % 3 =
     0 THEN '' ELSE 'bash' END").
+    field_exprs: extra scored fields — maps field name to a SQL text
+    expression over the source table; `name:value` query tokens over
+    these names become field-scoped term clauses scored with THAT
+    field's df and avg fieldnorm (mirrors IndexReader.search on a
+    field_cols index; plain terms still score the primary field only).
     Clause `^N` boosts are applied as (idf × boost) × tf_factor —
     the same association as the engine's Bm25Weight.boost_by.
     should: extra Should clauses — LEFT JOIN + COALESCE score terms on
@@ -237,7 +243,8 @@ def bm25_search_sql(query: str, k: int | None = 20,
         assert should is None and offset == 0
         return _bm25_should_sql(query, k, table, text_col, id_col,
                                 tie=(tie if occur == "dismax" else None))
-    pq: ParsedQuery = parse_query(query)
+    pq: ParsedQuery = parse_query(
+        query, scored_fields=tuple(field_exprs or ()))
     compounds = compound_alternatives(pq, ngram_max)
     pos_idx = [i for i, c in enumerate(pq.clauses) if c.kind != "not"]
     c_terms = [t for alts in compounds.values() for t in alts]
@@ -257,6 +264,47 @@ def bm25_search_sql(query: str, k: int | None = 20,
 dfs AS (
   SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
   FROM {stream} WHERE term IN ({terms_in}) GROUP BY term
+)""")
+
+    # ---- field-scoped terms: one token/tf/df CTE set per used field,
+    # scored with THAT field's df and avg fieldnorm (mirrors
+    # IndexReader._weights over "f:{field}:{token}" keys)
+    fidx = {f: i for i, f in enumerate(
+        sorted({c.field for c in pq.clauses if c.field}))}
+    if fidx:
+        fbare: dict[str, set[str]] = {f: set() for f in fidx}
+        for c in pq.clauses:
+            if c.field:
+                if c.prefix or c.fuzzy or c.regex:
+                    raise NotImplementedError(
+                        "oracle SQL models plain field-scoped terms "
+                        "only (no field prefix/fuzzy/regex)")
+                fbare[c.field].update(
+                    t.split(":", 2)[2] for t in c.tokens)
+        for f, i in fidx.items():
+            fin = ", ".join(_q(t) for t in sorted(fbare[f]))
+            ctes.append(f"""xfd{i} AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower(COALESCE({field_exprs[f]}, '')),
+                            '{TOKEN_RE}') AS toks
+  FROM {table}
+),
+xfq{i} AS (
+  SELECT doc_id,
+         (SELECT max(val) FROM fnt WHERE val <= len(toks)) AS fnq
+  FROM xfd{i}
+),
+xav{i} AS (SELECT sum(len(toks))::DOUBLE / count(*)::DOUBLE AS a
+           FROM xfd{i}),
+xtf{i} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM xfd{i})
+  WHERE term IN ({fin}) GROUP BY doc_id, term
+),
+xdf{i} AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM xfd{i})
+  WHERE term IN ({fin}) GROUP BY term
 )""")
 
     def _expansion_cond(c) -> str | None:
@@ -286,6 +334,9 @@ dfs_all AS (
 )""")
 
     joins = ["CROSS JOIN stats s"]
+    for _f, _i in fidx.items():
+        joins.append(f"JOIN xfq{_i} fq{_i} "
+                     f"ON fq{_i}.doc_id = cand.doc_id")
     score_terms = []
     exists_conds = []
     def _bidf(idf_expr: str, boost: float) -> str:
@@ -303,6 +354,21 @@ dfs_all AS (
             continue
         if c.kind == "exists":
             continue  # unscored; condition added below
+        if c.kind == "term" and c.field:
+            i = fidx[c.field]
+            bare = c.tokens[0].split(":", 2)[2]
+            a = f"x{ci}"
+            joins.append(
+                f"JOIN xtf{i} {a} ON {a}.doc_id = cand.doc_id "
+                f"AND {a}.term = {_q(bare)}")
+            idf_f = (f"(SELECT ln(1 + (s2.n - z.df + 0.5) / "
+                     f"(z.df + 0.5)) FROM xdf{i} z, stats s2 "
+                     f"WHERE z.term = {_q(bare)})")
+            score_terms.append(
+                f"{_bidf(idf_f, c.boost)} * "
+                f"({a}.tf * 2.2) / ({a}.tf + 1.2 * (1 - 0.75 + "
+                f"0.75 * fq{i}.fnq / (SELECT a FROM xav{i})))")
+            continue
         if (fcond := _expansion_cond(c)) is not None:
             if alts:
                 raise NotImplementedError(
@@ -416,6 +482,13 @@ fs{ci} AS (
                 f"AND tf.term = {_q(m)})"
                 for m in [c.tokens[0]] + alts)
             exists_conds.append(f"({any_m})")
+        elif c.kind == "term" and c.field:
+            i = fidx[c.field]
+            bare = c.tokens[0].split(":", 2)[2]
+            exists_conds.append(
+                f"EXISTS (SELECT 1 FROM xtf{i} WHERE "
+                f"xtf{i}.doc_id = cand.doc_id "
+                f"AND xtf{i}.term = {_q(bare)})")
         elif c.kind == "term":
             exists_conds.append(
                 f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = cand.doc_id "
@@ -431,6 +504,15 @@ fs{ci} AS (
                 f"EXISTS (SELECT 1 FROM ph{ci} "
                 f"WHERE ph{ci}.doc_id = cand.doc_id)")
     for c in pq.negative:
+        if c.field:
+            i = fidx[c.field]
+            inner = " AND ".join(
+                f"EXISTS (SELECT 1 FROM xtf{i} WHERE "
+                f"xtf{i}.doc_id = cand.doc_id "
+                f"AND xtf{i}.term = {_q(t.split(':', 2)[2])})"
+                for t in c.tokens)
+            exists_conds.append(f"NOT ({inner})")
+            continue
         inner = " AND ".join(
             _filter_cond(t, table, id_col, "cand.doc_id")
             if ":" in t else

@@ -626,6 +626,36 @@ class IndexReader:
                      .drop("__off", "__ord"))
         return turns
 
+    def _parse(self, query):
+        """Parse a query string with this index's scored extra fields
+        enabled, so `title:term` scopes to the field (tantivy
+        `field:term`); ParsedQuery values pass through."""
+        if not isinstance(query, str):
+            return query
+        return parse_query(
+            query,
+            scored_fields=tuple(self.stats.get("field_cols") or ()))
+
+    def _field_avgfn(self, fname: str) -> float:
+        """avg fieldnorm of one extra scored field: the field's total
+        token count over ALL docs (bm25.rs:72-79 semantics; a doc
+        without the field counts with length 0). 1.0 keeps the norm
+        cache finite for a corpus-wide-empty field."""
+        if fname not in (self.stats.get("field_cols") or ()):
+            raise ValueError(
+                f"unknown scored field {fname!r}; index has "
+                f"{list(self.stats.get('field_cols') or ())}")
+        ftoks = self.stats.get("field_tokens") or {}
+        return ((ftoks.get(fname, 0) or 0) / self.num_docs) or 1.0
+
+    def _avgfn_for_key(self, t) -> float:
+        """avg fieldnorm for a dictionary key: field-scoped keys
+        ("f:{field}:{token}") score against THEIR field's statistics,
+        everything else against the primary text field's."""
+        if isinstance(t, str) and t.startswith("f:"):
+            return self._field_avgfn(t.split(":", 2)[1])
+        return self.avg_fieldnorm
+
     def _seg_sources(self) -> dict | None:
         """Merged index: kernel segment id -> source row-store segment
         dirs (the row store is not copied on merge); None otherwise."""
@@ -704,6 +734,12 @@ class IndexReader:
                 "compound_terms/stemmed augmentation is not supported "
                 "with occur='should' (scored-disjunction queries take "
                 "plain term clauses only)")
+        bad = ({c.field for c in pq.clauses if c.field}
+               - set(self.stats.get("field_cols") or ()))
+        if bad:
+            raise ValueError(
+                f"unknown scored field(s) {sorted(bad)}; index has "
+                f"{list(self.stats.get('field_cols') or ())}")
         ngram_max = int(self.stats.get("ngram_max", 0) or 0)
         use_compounds = (compound_terms if compound_terms is not None
                          else ngram_max >= 2)
@@ -747,7 +783,8 @@ class IndexReader:
             else:
                 stem_q = english_stem
             for i, c in enumerate(pq.clauses):
-                if c.kind == "term":
+                if c.kind == "term" and not c.field:
+                    # field-scoped terms have no stemmed shadow
                     compounds.setdefault(i, []).append(
                         "s:" + stem_q(c.tokens[0]))
         # fuzzy (`word~N`) / prefix (`word*`) / regex (`/pat/`) terms
@@ -808,7 +845,8 @@ class IndexReader:
         return self._nvocab_cache
 
     def _scan_expansion(self, match_fn, flt, cap: int | None,
-                        prefilter=None) -> list[str]:
+                        prefilter=None, allow_ns: str | None = None
+                        ) -> list[str]:
         """Expansion matching over the term dictionary.
 
         Driver path: a streaming pyarrow scan of the (row-group-pruned
@@ -828,7 +866,8 @@ class IndexReader:
         cap = cap or self.max_fuzzy_expansions
         dset = ds.dataset(self._term_stats_path, format="parquet")
         if dset.count_rows(filter=flt) > self.vocab_scan_threshold:
-            return self._distributed_expansion(match_fn, prefilter, cap)
+            return self._distributed_expansion(match_fn, prefilter, cap,
+                                               allow_ns=allow_ns)
         scanner = dset.scanner(columns=["term", "df"], filter=flt)
         best: list[tuple[int, str]] = []
         for batch in scanner.to_batches():
@@ -837,21 +876,30 @@ class IndexReader:
             terms = batch["term"].to_pylist()
             dfv = batch["df"].to_numpy(zero_copy_only=False)
             keep = match_fn(terms)
+            # shadow/attr namespaces (s:/b:/u:/f:/role: ...) never leak
+            # into a plain-text expansion; a field-scoped prefix opts
+            # back into exactly ITS "f:{field}:" namespace
             pairs = [(-int(f), t)
                      for t, f, m in zip(terms, dfv, keep)
-                     if m and ":" not in t]
+                     if m and (":" not in t
+                               or (allow_ns is not None
+                                   and t.startswith(allow_ns)))]
             if pairs:
                 best = sorted(best + pairs)[:cap]
         return [t for _, t in best]
 
     def _distributed_expansion(self, match_fn, prefilter,
-                               cap: int) -> list[str]:
+                               cap: int,
+                               allow_ns: str | None = None) -> list[str]:
         """Executor-side expansion for extreme vocabularies."""
         from pyspark.sql import functions as F
 
         df = (self.spark.read.parquet(self._term_stats_path)
-              .select("term", "df")
-              .filter(~F.col("term").contains(":")))
+              .select("term", "df"))
+        ns_ok = ~F.col("term").contains(":")
+        if allow_ns is not None:
+            ns_ok = ns_ok | F.col("term").startswith(allow_ns)
+        df = df.filter(ns_ok)
         if prefilter is not None:
             df = prefilter(df)
 
@@ -897,9 +945,14 @@ class IndexReader:
             return df.filter((F.col("term") >= prefix)
                              & (F.col("term") < prefix + _MAX_CHAR))
 
+        # a field-scoped prefix ("f:title:mer") expands within exactly
+        # its own keyed namespace
+        ns = None
+        if prefix.startswith("f:") and prefix.count(":") >= 2:
+            ns = prefix[: prefix.index(":", 2) + 1]
         return self._scan_expansion(
             lambda ts: [t.startswith(prefix) for t in ts], flt, cap,
-            prefilter=prefilter)
+            prefilter=prefilter, allow_ns=ns)
 
     def regex_terms(self, pattern: str,
                     cap: int | None = None) -> list[str]:
@@ -1203,8 +1256,11 @@ class IndexReader:
     def _weights(self, pq: ParsedQuery, dfs: dict[str, int], dtype):
         weights: dict = {}
         for t in pq.all_terms():
+            # field-scoped keys ("f:{field}:{tok}") use the FIELD's df
+            # (already keyed in dfs) and the field's avg fieldnorm —
+            # tantivy scores `field:term` with that field's statistics
             weights[t] = Bm25Weight(dfs[t], self.num_docs,
-                                    self.avg_fieldnorm, dtype=dtype)
+                                    self._avgfn_for_key(t), dtype=dtype)
         for c in pq.positive:
             if c.kind == "phrase":
                 # phrase weight = sum of constituent idfs
@@ -1276,7 +1332,7 @@ class IndexReader:
         (optic.rs:62-77)."""
         from pyspark.sql import functions as F
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         boost_rules: list = []
         discard_matchers: list = []
         rule_terms: list[str] = []
@@ -1307,7 +1363,7 @@ class IndexReader:
             if occur == "should":
                 raise ValueError(
                     "mixed occur uses occur='must' + should=...")
-            spq = (parse_query(should) if isinstance(should, str)
+            spq = (self._parse(should) if isinstance(should, str)
                    else should)
             if spq.negative:
                 raise ValueError(
@@ -1359,7 +1415,7 @@ class IndexReader:
             weights.update(self._weights(spq, dfs, dtype))
         for t in c_terms:
             weights[t] = Bm25Weight(dfs[t], self.num_docs,
-                                    self.avg_fieldnorm, dtype=dtype)
+                                    self._avgfn_for_key(t), dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
             spq is not None
             and any(c.kind == "phrase" for c in spq.positive)) or rules_pos
@@ -1775,7 +1831,7 @@ class IndexReader:
         beyond-BM25 ranking (coefficient table signals/core/text.rs)."""
         from pyspark.sql import functions as F
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         if any(c.kind != "term" for c in pq.clauses):
             raise ValueError("signals() takes simple term queries "
                              "(reference: query.simple_terms)")
@@ -1846,11 +1902,16 @@ class IndexReader:
         1.0 for every field incl. the primary text field)."""
         from pyspark.sql import functions as F
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         extra = list(self.stats.get("field_cols") or [])
         if not extra:
             raise ValueError(
                 "index was built without field_cols; use search()")
+        if any(c.field for c in pq.clauses):
+            raise ValueError(
+                "field-scoped terms (`title:term`) are a search() "
+                "feature; BM25F already scores every term across all "
+                "fields — use field_coeffs to weight a field")
         primary = self.stats.get("text_col", "text")
         fields = [primary] + extra
         coeffs = {f: 1.0 for f in fields}
@@ -2060,7 +2121,7 @@ class IndexReader:
                 optic_by[name] = (b_rules, d_matchers, req)
             else:
                 optic_by[name] = None
-            pq = parse_query(q) if isinstance(q, str) else q
+            pq = self._parse(q)
             parsed[name] = pq
             offsets[name] = off
             ranges_by[name] = [_typed_range_spec(c) for c in pq.positive
@@ -2077,7 +2138,7 @@ class IndexReader:
                     f"batch query {name!r} has no posting-backed "
                     "positive clause — run pure match-all queries "
                     "through search()")
-            spq = (parse_query(sh) if isinstance(sh, str) else sh) \
+            spq = (self._parse(sh) if isinstance(sh, str) else sh) \
                 if sh is not None else None
             if spq is not None and spq.negative:
                 raise ValueError(
@@ -2089,11 +2150,12 @@ class IndexReader:
                                      "index")
                 if spq is not None or pq.negative or any(
                         c.kind in ("phrase", "range", "exists",
-                                   "termset", "all")
+                                   "termset", "all") or c.field
                         for c in pq.clauses):
                     raise ValueError(
                         "batch bm25f specs take simple positive terms "
-                        "+ filters only")
+                        "+ filters only (no field-scoped terms: BM25F "
+                        "already scores every term across all fields)")
                 cdict = {}
                 fkeys = []
                 for i, c in enumerate(pq.clauses):
@@ -2162,7 +2224,7 @@ class IndexReader:
                     w.update(self._weights(shoulds[name], dfs, dtype))
                 for t in cterms_by[name]:
                     w[t] = Bm25Weight(dfs[t], self.num_docs,
-                                      self.avg_fieldnorm, dtype=dtype)
+                                      self._avgfn_for_key(t), dtype=dtype)
             weights[name] = w
         # queries with a dead required clause are dropped up front
         live = {name: pq for name, pq in parsed.items()
@@ -2387,10 +2449,10 @@ class IndexReader:
         distributed :meth:`search` stays the default for DataFrame
         consumers and every correctness gate; rank identity between the
         two paths is pinned by tests/test_local_path.py."""
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         spq = None
         if should is not None:
-            spq = (parse_query(should) if isinstance(should, str)
+            spq = (self._parse(should) if isinstance(should, str)
                    else should)
             if spq.negative:
                 raise ValueError(
@@ -2439,7 +2501,7 @@ class IndexReader:
             weights.update(self._weights(spq, dfs, dtype))
         for t in c_terms:
             weights[t] = Bm25Weight(dfs[t], self.num_docs,
-                                    self.avg_fieldnorm, dtype=dtype)
+                                    self._avgfn_for_key(t), dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
             spq is not None
             and any(c.kind == "phrase" for c in spq.positive))
@@ -2508,7 +2570,7 @@ class IndexReader:
         (:meth:`search_local`), larger ones through the distributed
         engine. local=True/False forces a path."""
         if local is None and self.local_threshold > 0:
-            pq = parse_query(query) if isinstance(query, str) else query
+            pq = self._parse(query)
             compounds, c_terms = self._plan_alternatives(pq, None, None)
             dfs = self.term_dfs(list(dict.fromkeys(
                 pq.all_terms() + c_terms)))
@@ -2560,7 +2622,7 @@ class IndexReader:
         if max_docs_per_segment is not None:
             local = False  # ShortCircuit cap is distributed-only
         if local is None and self.local_threshold > 0:
-            pq = (parse_query(query) if isinstance(query, str)
+            pq = (self._parse(query) if isinstance(query, str)
                   else query)
             compounds, c_terms = self._plan_alternatives(pq, None, None)
             dfs = self.term_dfs(list(dict.fromkeys(
@@ -2652,7 +2714,7 @@ class IndexReader:
 
         from .kernel import diversity_rerank
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         if not any(c.kind in ("term", "phrase", "filter", "termset")
                    for c in pq.positive):
             raise ValueError("search_diverse needs a posting-backed "
@@ -2686,7 +2748,7 @@ class IndexReader:
         weights = self._weights(pq, dfs, dtype)
         for t in c_terms:
             weights[t] = Bm25Weight(dfs[t], self.num_docs,
-                                    self.avg_fieldnorm, dtype=dtype)
+                                    self._avgfn_for_key(t), dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         postings = (self.postings_df
@@ -2786,7 +2848,7 @@ class IndexReader:
         count(q) == number of rows search(q, k=num_docs) returns."""
         from pyspark.sql import functions as F
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         range_specs = [_typed_range_spec(c) for c in pq.positive
                        if c.kind == "range"]
         exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
@@ -2820,7 +2882,7 @@ class IndexReader:
         weights = self._weights(pq, dfs, dtype)
         for t in c_terms:
             weights[t] = Bm25Weight(dfs[t], self.num_docs,
-                                    self.avg_fieldnorm, dtype=dtype)
+                                    self._avgfn_for_key(t), dtype=dtype)
         has_phrase = any(c.kind == "phrase" for c in pq.positive)
         cols = _POSTING_COLS + (["positions"] if has_phrase else [])
         postings = (self.postings_df
@@ -2974,7 +3036,7 @@ class IndexReader:
     def approx_count(self, query: str | ParsedQuery) -> int:
         """Term-independence estimate N * prod(df_i / N) (reference:
         crates/core/src/collector/approx_count.rs:104-211)."""
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         self._reject_expansions(pq, "approx_count")
         dfs = self.term_dfs(pq.all_terms())
         est = float(self.num_docs)
@@ -3015,7 +3077,7 @@ class IndexReader:
         counts."""
         from pyspark.sql import functions as F
 
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = self._parse(query)
         self._reject_expansions(pq, "approx_count_hybrid")
         dfs = self.term_dfs(pq.all_terms())
         required = [c.tokens for c in pq.positive]

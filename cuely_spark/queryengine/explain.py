@@ -190,12 +190,12 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
 
     d = dtype
     doc = int(doc_id)
-    pq = parse_query(query) if isinstance(query, str) else query
+    pq = reader._parse(query)
     if not 0 <= doc < reader.num_docs:
         raise DoesNotMatch(doc)
     spq = None
     if should is not None:
-        spq = parse_query(should) if isinstance(should, str) else should
+        spq = reader._parse(should)
         if spq.negative:
             raise ValueError(
                 "negations belong in the must query, not in should")
@@ -335,7 +335,7 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
         weights.update(reader._weights(spq, dfs, dtype))
     for t in c_terms:
         weights[t] = Bm25Weight(dfs[t], reader.num_docs,
-                                reader.avg_fieldnorm, dtype=dtype)
+                                reader._avgfn_for_key(t), dtype=dtype)
     has_phrase = any(c.kind == "phrase" for c in pq.positive) or (
         spq is not None
         and any(c.kind == "phrase" for c in spq.positive))
@@ -354,7 +354,9 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
         w0 = weights.get(tok)
         if w0 is None or not isinstance(w0, Bm25Weight):
             w0 = w_boosted
-        leaf = _bm25_leaf(w0, fnid, tf, avgfn, d)
+        # field-scoped keys display THEIR field's avgdl (the score
+        # itself always comes from w0's cache, which is field-correct)
+        leaf = _bm25_leaf(w0, fnid, tf, reader._avgfn_for_key(tok), d)
         leaf.add_context(f"Term={tok!r}")
         return _boost_wrap(leaf, boost, contrib)
 

@@ -92,6 +92,12 @@ class Clause:
     boost: float = 1.0        # `^N` score multiplier (tantivy
     #                           BoostQuery / Bm25Weight::boost_by)
     neg: bool = False         # exists clauses only: `-field:*`
+    field: str | None = None  # scored-field scoping (`title:term` on a
+    #                           multi-field index): tokens hold the
+    #                           INDEX KEYS ("f:{field}:{token}") so the
+    #                           engine treats them as opaque dictionary
+    #                           terms; `field` marks the clause for
+    #                           per-field stats and augmentation skips
 
 
 @dataclass
@@ -198,6 +204,42 @@ def _as_exists(raw: str) -> Clause | None:
     return None
 
 
+def _as_field_term(raw: str, scored_fields: tuple[str, ...]
+                   ) -> tuple[str, list[str], bool] | None:
+    """'title:merge' -> ("title", ["f:title:merge"], False) when
+    `title` is one of the index's extra scored fields — the tantivy
+    query-language `field:term` scoping (query_grammar parses a field
+    prefix into a per-field TermQuery scored with THAT field's
+    statistics). Extra-field postings are keyed "f:{field}:{token}"
+    (indexer/segment.py), so the clause carries the index keys and the
+    rest of the engine treats them as ordinary dictionary terms.
+    A trailing `*` makes it a per-field prefix expansion (the keyed
+    dictionary is sorted, so the range prune works unchanged).
+    Fuzzy/regex markers in the value are rejected loudly — silently
+    tokenizing them away would turn `title:merge~1` into the dead
+    conjunction (title:merge AND title:1)."""
+    if ":" not in raw or not scored_fields:
+        return None
+    name, _, value = raw.partition(":")
+    f = name.lower()
+    if f not in scored_fields or not value or value.isspace():
+        return None
+    if "~" in value or value.startswith("/"):
+        raise ValueError(
+            f"field-scoped terms support plain terms and `*` prefix "
+            f"only, got {raw!r}")
+    prefix = False
+    if value.endswith("*") and len(value) > 1:
+        value, prefix = value[:-1], True
+    toks = tokenize(value)
+    if not toks:
+        return None
+    if prefix and len(toks) != 1:
+        raise ValueError(
+            f"field prefix takes a single token, got {raw!r}")
+    return f, [f"f:{f}:{t}" for t in toks], prefix
+
+
 def _as_filter(raw: str) -> str | None:
     """'role:user' -> normalized filter term, else None."""
     if ":" not in raw:
@@ -293,9 +335,16 @@ def _split_boost(raw: str) -> tuple[str, float]:
     return raw[:m.start()], float(m.group(1))
 
 
-def parse_query(q: str) -> ParsedQuery:
+def parse_query(q: str,
+                scored_fields: tuple[str, ...] = ()) -> ParsedQuery:
+    """Parse a query string. `scored_fields`: names of the index's
+    extra scored text fields (field_cols) — `name:value` tokens over
+    these become field-scoped scored term clauses (tantivy
+    `field:term`); without it (or for unknown names) the historical
+    behavior stands: the raw splits into plain AND'd terms."""
     if q is None or not q.strip():
         raise ValueError("empty query")  # reference: query/mod.rs:82-85
+    scored_fields = tuple(s.lower() for s in scored_fields or ())
     clauses: list[Clause] = []
     raws = _raw_split(q)[:MAX_TERMS_PER_QUERY]
     for raw in raws:
@@ -337,6 +386,17 @@ def parse_query(q: str) -> ParsedQuery:
             filt = _as_filter(raw[1:])
             if filt is not None:
                 clauses.append(Clause("not", (filt,)))
+            elif (nft := _as_field_term(raw[1:],
+                                        scored_fields)) is not None:
+                # `-title:foo` — exclude docs containing the term(s)
+                # in THAT field (keys are opaque to the kernel's
+                # mustnot groups, so this needs no executor change)
+                fname, keys, pfx = nft
+                if pfx:
+                    raise ValueError(
+                        "prefix expansion is not supported in a "
+                        f"negated field term: {raw!r}")
+                clauses.append(Clause("not", tuple(keys), field=fname))
             else:
                 toks = tuple(tokenize(raw[1:]))
                 if toks:
@@ -347,6 +407,15 @@ def parse_query(q: str) -> ParsedQuery:
             clauses.append(rng)
         elif (filt := _as_filter(raw)) is not None:
             clauses.append(Clause("filter", (filt,)))
+        elif (ft := _as_field_term(raw, scored_fields)) is not None:
+            # field-scoped scored term(s): `title:foo-bar^2` AND's a
+            # boosted term clause per value token, each scored with the
+            # FIELD's own df/avg-fieldnorm (tantivy TermQuery on a
+            # named field)
+            fname, keys, pfx = ft
+            for kk in keys:
+                clauses.append(Clause("term", (kk,), prefix=pfx,
+                                      boost=boost, field=fname))
         elif raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
             import re as _re
 
@@ -446,8 +515,8 @@ def compound_alternatives(pq: ParsedQuery,
         return out
     prefixes = ["b:"] + (["t:"] if ngram_max >= 3 else [])
     for i, c in enumerate(clauses):
-        if c.kind != "term":
-            continue
+        if c.kind != "term" or c.field:
+            continue  # field-scoped terms live in their own namespace
         alts: list[str] = []
         seen: set[str] = set()
         for w in (2, 3):
@@ -458,7 +527,8 @@ def compound_alternatives(pq: ParsedQuery,
                     continue
                 toks = [clauses[k].tokens[0]
                         for k in range(start, end + 1)
-                        if k < len(clauses) and clauses[k].kind == "term"]
+                        if k < len(clauses) and clauses[k].kind == "term"
+                        and not clauses[k].field]
                 if not toks:
                     continue
                 # 1-token windows (non-simple neighbors shrank them) are
