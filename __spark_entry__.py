@@ -692,6 +692,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_field_term"] = ft_field_term
 
+    def ft_field_phrase(spark, sf_dir):
+        """Field-scoped phrases (adjacency + slop) over the TITLE's
+        own position stream, scored with the title's df/avg-fieldnorm
+        — run as one search_many batch (field terms ride the batch
+        plan too); titles are 'srcN tok1 tok2'."""
+        import numpy as np
+
+        from cuely_spark.queryengine import IndexReader
+
+        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        res = r.search_many({
+            "p1": 'title:"src1 merge"~4',
+            "p2": 'title:"src2 key"~4',
+            "p3": 'title:"merge table"',
+        }, k=r.num_docs, dtype=np.float64)
+        return res.select("query", "doc_id",
+                          F.round(F.col("score"), 4).alias("score"))
+    out["ft_field_phrase"] = ft_field_phrase
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -954,7 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 50-entry cap): verified by scripts/check_correctness.py
             # + tests; rotate into the head next round
             "ft_explain", "nb_classify", "ft_autosuggest",
-            "rake_keyphrases", "ft_field_term"]
+            "rake_keyphrases", "ft_field_term", "ft_field_phrase"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1181,6 +1200,13 @@ FROM m"""
     out["ft_field_term"] = bm25_search_sql(
         "title:src1^2 merge -title:scan", k=None,
         field_exprs={"title": title_expr})
+    out["ft_field_phrase"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS query, doc_id, score FROM ("
+        + bm25_search_sql(q, k=None,
+                          field_exprs={"title": title_expr}) + ")"
+        for name, q in [("p1", 'title:"src1 merge"~4'),
+                        ("p2", 'title:"src2 key"~4'),
+                        ("p3", 'title:"merge table"')])
     _f2 = {"text": "text", "title": title_expr}
     out["ft_batch_bm25f"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM (" + sql + ")"

@@ -61,13 +61,16 @@ def _idf(term: str) -> str:
             f"FROM dfs d, stats s2 WHERE d.term = {_q(term)})")
 
 
-def _phrase_cte(name: str, tokens: tuple[str, ...], slop: int = 0) -> str:
+def _phrase_cte(name: str, tokens: tuple[str, ...], slop: int = 0,
+                stream: str = "tok") -> str:
     if slop > 0:
-        return _phrase_slop_ctes(name, tokens, slop)
-    joins = [f"(SELECT doc_id, pos FROM tok WHERE term={_q(tokens[0])}) w0"]
+        return _phrase_slop_ctes(name, tokens, slop, stream=stream)
+    joins = [f"(SELECT doc_id, pos FROM {stream} "
+             f"WHERE term={_q(tokens[0])}) w0"]
     for i, t in enumerate(tokens[1:], start=1):
         joins.append(
-            f"JOIN (SELECT doc_id, pos FROM tok WHERE term={_q(t)}) w{i} "
+            f"JOIN (SELECT doc_id, pos FROM {stream} "
+            f"WHERE term={_q(t)}) w{i} "
             f"ON w{i}.doc_id = w0.doc_id AND w{i}.pos = w0.pos + {i}")
     return (f"{name} AS (SELECT w0.doc_id, count(*)::DOUBLE AS tf "
             f"FROM {' '.join(joins)} GROUP BY w0.doc_id)")
@@ -101,7 +104,7 @@ def _phrase_prefix_ctes(name: str, tokens: tuple[str, ...]) -> str:
 
 
 def _phrase_slop_ctes(name: str, tokens: tuple[str, ...],
-                      slop: int) -> str:
+                      slop: int, stream: str = "tok") -> str:
     """Near-phrase tf CTEs mirroring the engine's budgeted-chain DP
     (kernel._phrase_tf_slop): adjusted positions a_i = pos + (n-1-i);
     chain CTE c{i} holds, per (doc, a_i), the minimal accumulated
@@ -110,14 +113,14 @@ def _phrase_slop_ctes(name: str, tokens: tuple[str, ...],
     CTEs {name}_c0.. + the final {name}(doc_id, tf)."""
     n = len(tokens)
     parts = [f"{name}_c0 AS (SELECT doc_id, pos + {n - 1} AS a, "
-             f"0 AS s FROM tok WHERE term={_q(tokens[0])})"]
+             f"0 AS s FROM {stream} WHERE term={_q(tokens[0])})"]
     for i, t in enumerate(tokens[1:], start=1):
         prev = f"{name}_c{i - 1}"
         parts.append(
             f"{name}_c{i} AS (SELECT w.doc_id, w.a, "
             f"min(p.s + abs(w.a - p.a)) AS s "
-            f"FROM (SELECT doc_id, pos + {n - 1 - i} AS a FROM tok "
-            f"WHERE term={_q(t)}) w "
+            f"FROM (SELECT doc_id, pos + {n - 1 - i} AS a "
+            f"FROM {stream} WHERE term={_q(t)}) w "
             f"JOIN {prev} p ON p.doc_id = w.doc_id "
             f"AND p.s + abs(w.a - p.a) <= {slop} "
             f"GROUP BY w.doc_id, w.a)")
@@ -277,8 +280,8 @@ dfs AS (
             if c.field:
                 if c.prefix or c.fuzzy or c.regex:
                     raise NotImplementedError(
-                        "oracle SQL models plain field-scoped terms "
-                        "only (no field prefix/fuzzy/regex)")
+                        "oracle SQL models plain field-scoped terms/"
+                        "phrases only (no field prefix/fuzzy/regex)")
                 fbare[c.field].update(
                     t.split(":", 2)[2] for t in c.tokens)
         for f, i in fidx.items():
@@ -296,6 +299,11 @@ xfq{i} AS (
 ),
 xav{i} AS (SELECT sum(len(toks))::DOUBLE / count(*)::DOUBLE AS a
            FROM xfd{i}),
+xtok{i} AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM xfd{i}
+),
 xtf{i} AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
   FROM (SELECT doc_id, unnest(toks) AS term FROM xfd{i})
@@ -419,6 +427,25 @@ fs{ci} AS (
                 f"{_tf_factor(f'{a}.tf')}")
         elif c.kind in ("filter", "range"):
             pass  # unscored; condition added below
+        elif c.kind == "phrase" and c.field:
+            i = fidx[c.field]
+            bares = tuple(t.split(":", 2)[2] for t in c.tokens)
+            name = f"ph{ci}"
+            ctes.append(_phrase_cte(name, bares, c.slop,
+                                    stream=f"xtok{i}"))
+
+            def _fidf(t, i=i):
+                return (f"(SELECT ln(1 + (s2.n - z.df + 0.5) / "
+                        f"(z.df + 0.5)) FROM xdf{i} z, stats s2 "
+                        f"WHERE z.term = {_q(t)})")
+
+            idf_sum = " + ".join(_fidf(t) for t in bares)
+            a = f"p{ci}"
+            joins.append(f"JOIN {name} {a} ON {a}.doc_id = cand.doc_id")
+            score_terms.append(
+                f"{_bidf(f'({idf_sum})', c.boost)} * "
+                f"({a}.tf * 2.2) / ({a}.tf + 1.2 * (1 - 0.75 + "
+                f"0.75 * fq{i}.fnq / (SELECT a FROM xav{i})))")
         else:
             name = f"ph{ci}"
             if c.prefix:

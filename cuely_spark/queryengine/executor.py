@@ -1268,7 +1268,10 @@ class IndexReader:
                 # phrase-prefix weights its FIXED terms only
                 # (phrase_prefix_query.rs:95-121 Bm25Weight::for_terms
                 # over phrase_terms, which excludes the prefix)
-                w = Bm25Weight(1, self.num_docs, self.avg_fieldnorm,
+                # field-scoped phrases saturate against THEIR field's
+                # norm cache (tokens are keys, all in the same field)
+                w = Bm25Weight(1, self.num_docs,
+                               self._avgfn_for_key(c.tokens[0]),
                                dtype=dtype)
                 s = dtype(0.0)
                 toks = c.tokens[:-1] if c.prefix else c.tokens

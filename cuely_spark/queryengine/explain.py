@@ -489,7 +489,8 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
             contrib = w.score(np.array([fnid]), np.array([tfv]))
             total = (total + contrib).astype(d)
             w0 = weights.get(("phrase", c.tokens, c.slop, True), w)
-            leaf = _bm25_leaf(w0, fnid, tfv, avgfn, d)
+            leaf = _bm25_leaf(w0, fnid, tfv,
+                              reader._avgfn_for_key(c.tokens[0]), d)
             node = Explanation("PhrasePrefix Scorer", float(contrib[0]))
             node.add_detail(leaf)
             node.add_context("Phrase=\"" + " ".join(c.tokens) + "*\"")
@@ -502,7 +503,8 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
             contrib = w.score(np.array([fnid]), np.array([tfv]))
             total = (total + contrib).astype(d)
             w0 = weights.get(("phrase", c.tokens, c.slop, False), w)
-            leaf = _bm25_leaf(w0, fnid, tfv, avgfn, d)
+            leaf = _bm25_leaf(w0, fnid, tfv,
+                              reader._avgfn_for_key(c.tokens[0]), d)
             node = Explanation("Phrase Scorer", float(contrib[0]))
             node.add_detail(leaf)
             ctx = "Phrase=\"" + " ".join(c.tokens) + "\""
@@ -540,8 +542,11 @@ def explain_doc(reader, query, doc_id: int, dtype=np.float32,
                 _, fnid, _ = _lookup_one(tp[0], doc)
                 contrib = w.score(np.array([fnid]), np.array([tfv]))
                 total = (total + contrib.astype(d)).astype(d)
-                w0 = weights.get(("phrase", c.tokens, c.slop, False), w)
-                leaf = _bm25_leaf(w0, fnid, tfv, avgfn, d)
+                w0 = weights.get(("phrase", c.tokens, c.slop, False),
+                                 w)
+                leaf = _bm25_leaf(w0, fnid, tfv,
+                                  reader._avgfn_for_key(c.tokens[0]),
+                                  d)
                 node = Explanation("Phrase Scorer", float(contrib[0]))
                 node.add_detail(leaf)
                 details.append(_should_wrap(

@@ -312,6 +312,30 @@ def _raw_split(q: str) -> list[str]:
         else:
             j = i
             while j < n and not q[j].isspace():
+                if q[j] in _QUOTES and j > i and q[j - 1] == ":":
+                    # field-scoped phrase (`title:"a b"~2^1.5`): absorb
+                    # the quoted span plus any glued ~N / * / ^FLOAT
+                    # suffixes into this raw
+                    close = _QUOTES[q[j]]
+                    j += 1
+                    while j < n and q[j] not in (close, '"', "”", "“"):
+                        j += 1
+                    j = min(j + 1, n)
+                    if j < n and q[j] == "~":
+                        m = j + 1
+                        while m < n and q[m].isdigit():
+                            m += 1
+                        if m > j + 1:
+                            j = m
+                    elif j < n and q[j] == "*":
+                        j += 1
+                    if j < n and q[j] == "^":
+                        m = j + 1
+                        while m < n and (q[m].isdigit() or q[m] == "."):
+                            m += 1
+                        if m > j + 1:
+                            j = m
+                    break
                 j += 1
             out.append(q[i:j])
             i = j
@@ -352,6 +376,21 @@ def parse_query(q: str,
         raw, boost = _split_boost(raw)
         slop = 0
         pprefix = False
+        pfield = None
+        if scored_fields and ":" in raw and not raw.startswith('"'):
+            # field-scoped phrase `title:"a b"(~N|*)`: strip the field
+            # prefix and normalize the quotes; the ordinary phrase
+            # machinery below then applies with keyed tokens (field
+            # postings carry field-stream positions, so adjacency /
+            # slop / prefix all work unchanged)
+            name, _, rest = raw.partition(":")
+            if name.lower() in scored_fields and rest[:1] in _QUOTES:
+                pfield = name.lower()
+                kc = rest.find(_QUOTES[rest[0]], 1)
+                if kc == -1:  # unterminated: body runs to the end
+                    raw = '"' + rest[1:] + '"'
+                else:
+                    raw = '"' + rest[1:kc] + '"' + rest[kc + 1:]
         if raw.startswith('"') and raw.endswith('"*') and len(raw) > 3:
             raw, pprefix = raw[:-1], True
         elif raw.startswith('"') and "~" in raw \
@@ -361,13 +400,16 @@ def parse_query(q: str,
                 raw, slop = body, min(int(suffix), MAX_SLOP)
         if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
             toks = tuple(tokenize(raw[1:-1])[:MAX_PHRASE_WORDS])
+            if pfield is not None:
+                toks = tuple(f"f:{pfield}:{t}" for t in toks)
             if len(toks) == 1:
                 # single-word phrase-prefix collapses to a prefix term
                 clauses.append(Clause("term", toks, prefix=pprefix,
-                                      boost=boost))
+                                      boost=boost, field=pfield))
             elif toks:
                 clauses.append(Clause("phrase", toks, slop,
-                                      prefix=pprefix, boost=boost))
+                                      prefix=pprefix, boost=boost,
+                                      field=pfield))
         elif raw == "*":
             # match-all (tantivy AllQuery, crates/tantivy/src/query/
             # all_query.rs: every doc scores 1.0 × boost). Composes

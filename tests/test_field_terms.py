@@ -205,3 +205,89 @@ def test_field_term_dead_and_errors(freader):
     with pytest.raises(ValueError, match="field-scoped|simple positive"):
         freader.search_many(
             {"a": {"q": "title:merge", "bm25f": True}}, k=10)
+
+
+# ------------------------------------------------------ field phrases
+def test_parser_field_phrase_forms():
+    sf = ("title",)
+    pq = parse_query('title:"alpha merge"~2^1.5 table', scored_fields=sf)
+    c0, c1 = pq.positive
+    assert (c0.kind, c0.tokens, c0.slop, c0.boost, c0.field) == (
+        "phrase", ("f:title:alpha", "f:title:merge"), 2, 1.5, "title")
+    assert c1.tokens == ("table",)
+    # single-token field phrase collapses to a field term
+    pq = parse_query('title:"alpha"', scored_fields=sf)
+    assert pq.positive[0].kind == "term"
+    assert pq.positive[0].tokens == ("f:title:alpha",)
+    # unknown field: the raw keeps the historical bareword/quote split
+    pq = parse_query('nosuch:"alpha merge"', scored_fields=sf)
+    assert all(c.field is None for c in pq.clauses)
+
+
+FIELD_PHRASE_QUERIES = [
+    'title:"alpha merge"',
+    'title:"alpha merge" table',
+    'title:"alpha merge"^2 -window',
+    'title:"gamma sort"~2',
+]
+
+
+def test_field_phrases_match_duckdb_oracle(freader, fcon):
+    from cuely_spark.oracle_sql import bm25_search_sql
+
+    for q in FIELD_PHRASE_QUERIES:
+        got = _spark_rows(freader.search(q, k=freader.num_docs,
+                                         dtype=np.float64))
+        want = fcon.execute(bm25_search_sql(
+            q, k=None, field_exprs={"title": "title"})).fetchall()
+        assert sorted(d for d, _ in got) == sorted(
+            d for d, _ in want), q
+        gs = dict(got)
+        for d, s in want:
+            np.testing.assert_allclose(gs[d], s, atol=2e-4, err_msg=q)
+
+
+@pytest.fixture(scope="module")
+def title_only_reader(spark, fdocs_pdf, tmp_path_factory):
+    """Single-field index over the TITLE text: per-field statistics of
+    the multi-field index must equal this index's primary statistics,
+    so `title:X` there scores exactly like `X` here."""
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    out = str(tmp_path_factory.mktemp("idx_title_only"))
+    pdf = fdocs_pdf[["doc_id", "title"]].rename(columns={"title": "text"})
+    build_index(spark, spark.createDataFrame(pdf), out,
+                doc_id_col="doc_id", rows_per_segment=100,
+                fuzzy_sidecar=False)
+    return IndexReader(spark, out)
+
+
+def test_field_scoping_equals_single_field_index(freader,
+                                                 title_only_reader):
+    """The strongest invariant: a field-scoped query on the multi-field
+    index is score-identical to the plain query on an index of just
+    that field (same dfs, same fieldnorms, same N)."""
+    pairs = [("title:alpha", "alpha"),
+             ("title:merge^2", "merge^2"),
+             ('title:"alpha merge"', '"alpha merge"'),
+             ('title:"gamma sort"~2', '"gamma sort"~2'),
+             ("title:alp*", "alp*")]
+    for fq, pq in pairs:
+        df, sf_ = freader.search_local(fq, k=freader.num_docs,
+                                       dtype=np.float64)
+        dp, sp = title_only_reader.search_local(
+            pq, k=title_only_reader.num_docs, dtype=np.float64)
+        assert df.tolist() == dp.tolist(), (fq, pq)
+        np.testing.assert_allclose(sf_, sp, rtol=1e-12, err_msg=fq)
+
+
+def test_field_phrase_paths_parity(freader):
+    q = 'title:"alpha merge" table'
+    res = freader.search(q, k=50, dtype=np.float64).toPandas()
+    d1, s1 = freader.search_local(q, k=50, dtype=np.float64)
+    assert res.doc_id.tolist() == d1.tolist()
+    np.testing.assert_allclose(res.score.values, s1, rtol=1e-9)
+    assert freader.count(q) == d1.size or freader.count(q) >= d1.size
+    exp = freader.explain(q, int(d1[0]))
+    np.testing.assert_allclose(exp.value, float(s1[0]), rtol=1e-6)
