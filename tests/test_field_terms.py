@@ -291,3 +291,25 @@ def test_field_phrase_paths_parity(freader):
     assert freader.count(q) == d1.size or freader.count(q) >= d1.size
     exp = freader.explain(q, int(d1[0]))
     np.testing.assert_allclose(exp.value, float(s1[0]), rtol=1e-6)
+
+
+def test_field_terms_across_surfaces(freader):
+    """Field queries work through every remaining query surface:
+    one-pass hits+count, diversity collector, signals, optics,
+    hybrid/approx counts — all treat the keys opaquely."""
+    from cuely_spark.queryengine.optic import Rule
+
+    q = "title:alpha merge"
+    exact = freader.count(q)
+    d, s, n = freader.search_with_count(q, k=10)
+    assert int(n) == exact and n.exact
+    dd, ss = freader.search_diverse(q, k=10, penalties={"lang": 0.1},
+                                    de_rank_similar=False)
+    assert dd.size == min(10, exact)
+    hyb, hexact = freader.approx_count_hybrid(q)
+    assert (hyb, hexact) == (exact, True)
+    res = freader.search(q, k=10,
+                         optic=[Rule("window", "boost", 0.5)])
+    assert res.count() == min(10, exact)
+    sig = freader.signals("title:alpha")
+    assert sig.count() > 0
