@@ -711,6 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 4).alias("score"))
     out["ft_field_phrase"] = ft_field_phrase
 
+    def ft_facets(spark, sf_dir):
+        """Facet/terms aggregation alongside search (tantivy
+        aggregation bucket terms_agg analog): per-attribute value
+        counts among docs matching the query — matched ids from the
+        count kernel, attribute values via the partition-pruned
+        executor-local row-store read, only bucket partials shuffle."""
+        r = _reader(spark, sf_dir)
+        return r.facet_counts("merge table", ["lang", "source"], k=20)
+    out["ft_facets"] = ft_facets
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -973,7 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 50-entry cap): verified by scripts/check_correctness.py
             # + tests; rotate into the head next round
             "ft_explain", "nb_classify", "ft_autosuggest",
-            "rake_keyphrases", "ft_field_term", "ft_field_phrase"]
+            "rake_keyphrases", "ft_field_term", "ft_field_phrase",
+            "ft_facets"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1200,6 +1211,9 @@ FROM m"""
     out["ft_field_term"] = bm25_search_sql(
         "title:src1^2 merge -title:scan", k=None,
         field_exprs={"title": title_expr})
+    from cuely_spark.oracle_sql import facet_sql
+    out["ft_facets"] = facet_sql("merge table", ["lang", "source"],
+                                 k=20)
     out["ft_field_phrase"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None,

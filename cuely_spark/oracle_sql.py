@@ -750,6 +750,38 @@ ORDER BY score DESC, doc_id ASC"""
     return sql
 
 
+def facet_sql(query: str, by, k: int = 50,
+              table: str = "documents", text_col: str = "text",
+              id_col: str = "doc_id",
+              field_exprs: dict[str, str] | None = None) -> str:
+    """Facet/terms-aggregation oracle: (col, value, count) — for each
+    `by` column, the top-k attribute values among docs matching
+    `query` (count desc, value asc per column; NULLs dropped) —
+    mirrors IndexReader.facet_counts."""
+    cols = [by] if isinstance(by, str) else list(by)
+    pq = parse_query(query, scored_fields=tuple(field_exprs or ()))
+    if any(c.kind in ("term", "phrase", "filter", "termset")
+           for c in pq.positive):
+        m = bm25_search_sql(query, k=None, table=table,
+                            text_col=text_col, id_col=id_col,
+                            field_exprs=field_exprs)
+    else:  # pure match-all membership (row-store path)
+        m = match_all_sql(query, k=None, table=table,
+                          text_col=text_col, id_col=id_col)
+    parts = [f"""SELECT '{c}' AS col, CAST(d.{c} AS VARCHAR) AS value,
+       count(*) AS "count"
+FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+WHERE d.{c} IS NOT NULL
+GROUP BY 1, 2""" for c in cols]
+    u = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""SELECT col, value, "count" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY col ORDER BY "count" DESC, value ASC) AS __r
+  FROM ({u})
+) WHERE __r <= {k}
+ORDER BY col, "count" DESC, value ASC"""
+
+
 def signals_sql(query: str, table: str = "documents",
                 text_col: str = "text", id_col: str = "doc_id") -> str:
     """Per-doc signals oracle: (doc_id, bm25, coverage, idf_sum) for

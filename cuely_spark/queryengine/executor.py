@@ -1614,7 +1614,7 @@ class IndexReader:
         return top.drop("segment_id")
 
     def _all_candidates(self, range_specs: list, exists_specs: list,
-                        negative) -> "tuple":
+                        negative, keep_cols: tuple = ()) -> "tuple":
         """(cand DataFrame (doc_id, segment_id), const) for pure
         match-all queries — the tantivy AllQuery path (all_query.rs):
         membership comes from the ROW STORE, not postings.
@@ -1644,7 +1644,8 @@ class IndexReader:
                     f"exists column {col!r} not in the row store")
             e = F.col(col).isNotNull() & (F.col(col) != F.lit(""))
             cond = cond & (~e if neg else e)
-        cand = turns.filter(cond).select("doc_id", "segment_id")
+        cand = turns.filter(cond).select("doc_id", "segment_id",
+                                         *keep_cols)
         if self._segment_map:
             # merged index: the row store keeps SOURCE segment ids —
             # map to kernel ids so the meta join prunes correctly
@@ -2920,6 +2921,143 @@ class IndexReader:
                 .mapInArrow(run_arrow, schema="n long")
                 .agg(F.sum("n").alias("n")).collect())
         return int(rows[0]["n"] or 0)
+
+    def facet_counts(self, query: str | ParsedQuery,
+                     by: str | list[str], k: int = 50,
+                     compound_terms: bool | None = None,
+                     stemmed: bool | None = None,
+                     lang: str | None = None):
+        """Terms aggregation over the matching docs — the tantivy
+        aggregation module's bucket terms aggregation over a fast
+        field (crates/tantivy/src/aggregation/bucket/term_agg.rs),
+        i.e. Elasticsearch-style facet counts alongside search.
+
+        Returns a DataFrame (col, value, count): for each `by`
+        row-store column, the top-k attribute values among docs
+        matching `query`, ordered count desc then value asc per
+        column. Values are returned as strings; NULL attribute values
+        are dropped (the terms aggregation ignores missing values).
+
+        Scale shape: the SAME single term-pruned postings scan as
+        search()/count(); each segment task computes its matched ids
+        with the count kernel (kernel.matching_docs), fetches the
+        `by` columns for exactly those ids via the partition-pruned
+        executor-local row-store read (_cols_lookup — the fast-field
+        reader analog), and emits PARTIAL (col, value, count) rows.
+        Only bucket partials cross the wire; the corpus never
+        shuffles, and nothing corpus-sized reaches the driver."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from .kernel import matching_docs
+
+        cols = [by] if isinstance(by, str) else list(by)
+        if not cols:
+            raise ValueError("facet_counts needs >= 1 `by` column")
+        self._validate_range_cols([(c,) for c in cols])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
+
+        def _rank(counts):
+            w = Window.partitionBy("col").orderBy(
+                F.desc("count"), F.asc("value"))
+            return (counts.withColumn("__r", F.row_number().over(w))
+                    .filter(F.col("__r") <= k).drop("__r")
+                    .orderBy("col", F.desc("count"), F.asc("value")))
+
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            # pure match-all: facet the row-store scan directly (same
+            # candidate pipeline as _search_all; the only exchange is
+            # the partial-agg bucket shuffle)
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative,
+                                        keep_cols=tuple(cols))
+            parts = [
+                (cand.filter(F.col(c).isNotNull())
+                 .groupBy(F.lit(c).alias("col"),
+                          F.col(c).cast("string").alias("value"))
+                 .agg(F.count("*").alias("count")))
+                for c in cols]
+            counts = parts[0]
+            for p in parts[1:]:
+                counts = counts.unionByName(p)
+            return _rank(counts)
+
+        compounds, c_terms = self._plan_alternatives(
+            pq, compound_terms, stemmed, lang=lang)
+        dfs = self.term_dfs(list(dict.fromkeys(
+            pq.all_terms() + c_terms)))
+        compounds = self._prune_dead_alts(compounds, dfs)
+        empty = self.spark.createDataFrame(
+            [], "col string, value string, count long")
+        if self._dead_clause(pq, compounds, dfs):
+            return empty
+        dtype = np.float32
+        weights = self._weights(pq, dfs, dtype)
+        for t in c_terms:
+            weights[t] = Bm25Weight(dfs[t], self.num_docs,
+                                    self._avgfn_for_key(t), dtype=dtype)
+        has_phrase = any(c.kind == "phrase" for c in pq.positive)
+        pcols = _POSTING_COLS + (["positions"] if has_phrase else [])
+        postings = (self.postings_df
+                    .filter(F.col("term").isin(
+                        list(dict.fromkeys(pq.all_terms() + c_terms))))
+                    .select(*pcols))
+        rng_ctx = (self._turns_path, self._seg_sources(),
+                   self._offsets)
+
+        def run_arrow(batches):
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            out_c, out_v, out_n = [], [], []
+            for _seg, by_term in _group_arrow_postings(tbl):
+                specs, negs = _make_specs(pq, weights, by_term, dtype,
+                                          compounds=compounds)
+                troot, ssrc, offs = rng_ctx
+                dirs = ssrc.get(_seg, [_seg]) if ssrc else [_seg]
+                rfns = None
+                if range_specs or exists_specs:
+                    rfns = [_range_lookup(troot, dirs, range_specs,
+                                          offs,
+                                          exists_specs=exists_specs)]
+                ids = matching_docs(specs, negs, range_fns=rfns)
+                if ids.size == 0:
+                    continue
+                vals = _cols_lookup(troot, dirs, cols, offs)(ids)
+                for c in cols:
+                    v = vals[c]
+                    keep = np.array([x is not None for x in v],
+                                    dtype=bool)
+                    uniq, cnt = np.unique(
+                        np.array([str(x) for x in v[keep]],
+                                 dtype=object), return_counts=True)
+                    out_c.extend([c] * uniq.size)
+                    out_v.extend(uniq.tolist())
+                    out_n.extend(cnt.tolist())
+            if out_c:
+                yield pa.record_batch(
+                    [pa.array(out_c), pa.array(out_v),
+                     pa.array(np.asarray(out_n, dtype=np.int64))],
+                    names=["col", "value", "count"])
+
+        partials = (postings.repartition(F.col("segment_id"))
+                    .mapInArrow(run_arrow,
+                                schema="col string, value string, "
+                                       "count long"))
+        counts = (partials.groupBy("col", "value")
+                  .agg(F.sum("count").alias("count")))
+        return _rank(counts)
 
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        k: int = TOP_K_DEFAULT, dtype=np.float64):

@@ -900,26 +900,13 @@ def compute_signals(term_specs: list[tuple], dtype=np.float32):
     return docs, bm25, coverage, idf_sum
 
 
-def count_matches(
-    clause_specs: list[tuple],
-    mustnot_groups: list[list[TermPostings]],
-    max_docs: int | None = None,
-    range_fns: list | None = None,
-) -> int:
-    """Exact match count for the conjunction (no scoring).
-
-    `max_docs` short-circuits: the driver posting list is decoded in
-    block chunks and counting STOPS (returning exactly max_docs) once
-    that many matches — after phrase verification and MustNot exclusion
-    — have accumulated, so a capped segment pays ~cap work instead of
-    the full intersection (reference ShortCircuitQuery semantics,
-    crates/tantivy/src/query/shortcircuit.rs:22-74, the collector the
-    ApproxCount estimate is defined against,
-    collector/approx_count.rs:104-211)."""
+def _units_and_finish(clause_specs, mustnot_groups, range_fns):
+    """(membership units, finish fn) shared by count_matches and
+    matching_docs; (None, None) when a required clause is dead."""
     for kind, tp, _ in clause_specs:
         if kind in ("or", "termset"):
             if all(t.nblocks == 0 for t, _ in tp):
-                return 0
+                return None, None
             continue
         if kind == "all":
             continue
@@ -927,11 +914,11 @@ def count_matches(
             fixed, exps = tp
             if (any(t.nblocks == 0 for t in fixed)
                     or all(e.nblocks == 0 for e in exps)):
-                return 0
+                return None, None
             continue
         tps = tp if isinstance(tp, list) else [tp]
         if any(t.nblocks == 0 for t in tps):
-            return 0
+            return None, None
     units: list = []
     for kind, tp, _ in clause_specs:
         if kind in ("or", "termset"):
@@ -947,8 +934,6 @@ def count_matches(
         else:
             units.extend(("one", t)
                          for t in (tp if isinstance(tp, list) else [tp]))
-    if not units:
-        return 0  # pure "all" queries use the row-store path
     phrases = [tp for kind, tp, _ in clause_specs if kind == "phrase"]
     pphrases = [tp for kind, tp, _ in clause_specs if kind == "pphrase"]
 
@@ -983,6 +968,45 @@ def count_matches(
                 cand = cand[~np.isin(cand, sub, assume_unique=True)]
         return cand
 
+    return units, _finish
+
+
+def matching_docs(
+    clause_specs: list[tuple],
+    mustnot_groups: list[list[TermPostings]],
+    range_fns: list | None = None,
+) -> np.ndarray:
+    """ALL matching doc ids for the conjunction (no scoring) — the
+    membership set a facet/aggregation collector iterates (tantivy's
+    aggregation SegmentCollector walks the scorer's doc set,
+    crates/tantivy/src/aggregation/). Sorted ascending."""
+    units, fin = _units_and_finish(clause_specs, mustnot_groups,
+                                   range_fns)
+    if units is None or not units:
+        return np.empty(0, dtype=np.int64)
+    return fin(intersect_units(units)).astype(np.int64)
+
+
+def count_matches(
+    clause_specs: list[tuple],
+    mustnot_groups: list[list[TermPostings]],
+    max_docs: int | None = None,
+    range_fns: list | None = None,
+) -> int:
+    """Exact match count for the conjunction (no scoring).
+
+    `max_docs` short-circuits: the driver posting list is decoded in
+    block chunks and counting STOPS (returning exactly max_docs) once
+    that many matches — after phrase verification and MustNot exclusion
+    — have accumulated, so a capped segment pays ~cap work instead of
+    the full intersection (reference ShortCircuitQuery semantics,
+    crates/tantivy/src/query/shortcircuit.rs:22-74, the collector the
+    ApproxCount estimate is defined against,
+    collector/approx_count.rs:104-211)."""
+    units, _finish = _units_and_finish(clause_specs, mustnot_groups,
+                                       range_fns)
+    if units is None or not units:
+        return 0
     if max_docs is None:
         return int(_finish(intersect_units(units)).size)
 

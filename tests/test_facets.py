@@ -1,0 +1,119 @@
+"""Facet / terms aggregation over matching docs.
+
+Reference: the tantivy aggregation module's bucket terms aggregation
+(crates/tantivy/src/aggregation/bucket/term_agg.rs) — per-segment
+value counts over a fast-field column for the docs the scorer visits,
+merged across segments, top-k buckets by (count desc, value asc).
+Here: kernel.matching_docs gives the segment's matched ids, the
+partition-pruned executor-local row-store read (the fast-field reader
+analog) gives the attribute values, and only (col, value, count)
+partials shuffle.
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def facet_pdf():
+    rng = np.random.default_rng(31)
+    vocab = ["merge", "table", "window", "scan", "sort", "key", "dup"]
+    rows = []
+    for i in range(500):
+        rows.append((i, " ".join(rng.choice(vocab, int(rng.integers(3, 12)))),
+                     ["en", "de", "fr"][i % 3],
+                     [None, "src1", "src2"][i % 3],
+                     int(rng.integers(10, 400))))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                       "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def facet_reader(spark, facet_pdf, tmp_path_factory):
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    out = str(tmp_path_factory.mktemp("idx_facets"))
+    build_index(spark, spark.createDataFrame(facet_pdf), out,
+                doc_id_col="doc_id", rows_per_segment=120,
+                attr_cols=("lang", "source"), fuzzy_sidecar=False)
+    return IndexReader(spark, out)
+
+
+@pytest.fixture(scope="module")
+def facet_con(facet_pdf):
+    c = duckdb.connect()
+    c.register("documents", facet_pdf)
+    return c
+
+
+FACET_CASES = [
+    ("merge table", ["lang", "source"]),
+    ('"merge table" -window', "lang"),
+    ("merge n_chars:100..300", ["lang"]),
+    ("merge lang:de", ["source"]),
+    ("* n_chars:>200", ["lang", "source"]),   # match-all row-store path
+    ("* -merge", "lang"),
+]
+
+
+def test_facets_match_duckdb_oracle(facet_reader, facet_con):
+    from cuely_spark.oracle_sql import facet_sql
+
+    for q, by in FACET_CASES:
+        got = facet_reader.facet_counts(q, by, k=10).toPandas()
+        want = facet_con.execute(facet_sql(q, by, k=10)).df()
+        assert (list(map(tuple, got[["col", "value", "count"]].values))
+                == list(map(tuple, want.values))), (q, by)
+
+
+def test_facets_consistent_with_count(facet_reader, facet_pdf):
+    """Sum over lang buckets == count(q): lang is never NULL here."""
+    q = "merge table"
+    got = facet_reader.facet_counts(q, "lang", k=50).toPandas()
+    assert int(got["count"].sum()) == facet_reader.count(q)
+    # NULL attributes are dropped (terms agg ignores missing)
+    src = facet_reader.facet_counts(q, "source", k=50).toPandas()
+    assert int(src["count"].sum()) < facet_reader.count(q)
+    assert not src["value"].isna().any()
+
+
+def test_facets_topk_and_order(facet_reader):
+    full = facet_reader.facet_counts("merge", "lang", k=50).toPandas()
+    top1 = facet_reader.facet_counts("merge", "lang", k=1).toPandas()
+    assert len(top1) == 1
+    assert tuple(top1.iloc[0]) == tuple(full.iloc[0])
+    # count desc, value asc within a column
+    c = full["count"].tolist()
+    assert c == sorted(c, reverse=True)
+
+
+def test_facets_edge_cases(facet_reader):
+    # absent term -> empty frame with the facet schema
+    out = facet_reader.facet_counts("zzzqx", "lang", k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "col", "value", "count"]
+    # unknown column -> loud error
+    with pytest.raises(ValueError, match="nosuch"):
+        facet_reader.facet_counts("merge", "nosuch", k=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        facet_reader.facet_counts("merge", [], k=5)
+
+
+def test_facets_on_merged_index(spark, facet_pdf, facet_reader,
+                                tmp_path_factory):
+    """Merged indexes route the row-store read through segment_map's
+    source dirs — bucket counts must be identical."""
+    from cuely_spark.indexer import merge_segments
+    from cuely_spark.queryengine import IndexReader
+
+    dst = str(tmp_path_factory.mktemp("idx_facets_merged"))
+    merge_segments(spark, facet_reader.path, dst, target_segments=2)
+    rm = IndexReader(spark, dst)
+    a = facet_reader.facet_counts("merge table", ["lang", "source"],
+                                  k=10).toPandas()
+    b = rm.facet_counts("merge table", ["lang", "source"],
+                        k=10).toPandas()
+    assert a.values.tolist() == b.values.tolist()
