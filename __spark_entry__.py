@@ -721,6 +721,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.facet_counts("merge table", ["lang", "source"], k=20)
     out["ft_facets"] = ft_facets
 
+    def ft_agg_stats(spark, sf_dir):
+        """Metric stats aggregation alongside search (tantivy
+        aggregation metric/stats.rs analog): count/sum/avg/min/max of
+        numeric attributes among matching docs."""
+        r = _reader(spark, sf_dir)
+        return r.agg_stats("merge table", ["n_chars"])
+    out["ft_agg_stats"] = ft_agg_stats
+
+    def ft_histogram(spark, sf_dir):
+        """Histogram aggregation (tantivy aggregation bucket/
+        histogram analog): fixed-interval n_chars buckets among
+        matching docs."""
+        r = _reader(spark, sf_dir)
+        return r.histogram("merge table", "n_chars", 100.0)
+    out["ft_histogram"] = ft_histogram
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -984,7 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # + tests; rotate into the head next round
             "ft_explain", "nb_classify", "ft_autosuggest",
             "rake_keyphrases", "ft_field_term", "ft_field_phrase",
-            "ft_facets"]
+            "ft_facets", "ft_agg_stats", "ft_histogram"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1211,9 +1227,13 @@ FROM m"""
     out["ft_field_term"] = bm25_search_sql(
         "title:src1^2 merge -title:scan", k=None,
         field_exprs={"title": title_expr})
-    from cuely_spark.oracle_sql import facet_sql
+    from cuely_spark.oracle_sql import (facet_sql, histogram_sql,
+                                        stats_agg_sql)
     out["ft_facets"] = facet_sql("merge table", ["lang", "source"],
                                  k=20)
+    out["ft_agg_stats"] = stats_agg_sql("merge table", ["n_chars"])
+    out["ft_histogram"] = histogram_sql("merge table", "n_chars",
+                                        100.0)
     out["ft_field_phrase"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None,

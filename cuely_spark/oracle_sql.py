@@ -759,15 +759,7 @@ def facet_sql(query: str, by, k: int = 50,
     `query` (count desc, value asc per column; NULLs dropped) —
     mirrors IndexReader.facet_counts."""
     cols = [by] if isinstance(by, str) else list(by)
-    pq = parse_query(query, scored_fields=tuple(field_exprs or ()))
-    if any(c.kind in ("term", "phrase", "filter", "termset")
-           for c in pq.positive):
-        m = bm25_search_sql(query, k=None, table=table,
-                            text_col=text_col, id_col=id_col,
-                            field_exprs=field_exprs)
-    else:  # pure match-all membership (row-store path)
-        m = match_all_sql(query, k=None, table=table,
-                          text_col=text_col, id_col=id_col)
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
     parts = [f"""SELECT '{c}' AS col, CAST(d.{c} AS VARCHAR) AS value,
        count(*) AS "count"
 FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
@@ -780,6 +772,57 @@ GROUP BY 1, 2""" for c in cols]
   FROM ({u})
 ) WHERE __r <= {k}
 ORDER BY col, "count" DESC, value ASC"""
+
+
+def stats_agg_sql(query: str, by, table: str = "documents",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  field_exprs: dict[str, str] | None = None) -> str:
+    """Metric stats-aggregation oracle: (col, count, sum, avg, min,
+    max) per `by` column over docs matching `query` — mirrors
+    IndexReader.agg_stats (avg defined as sum::DOUBLE / count so both
+    engines perform the identical final division)."""
+    cols = [by] if isinstance(by, str) else list(by)
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    parts = [f"""SELECT '{c}' AS col, count(*) AS "count",
+       CAST(sum(d.{c}) AS DOUBLE) AS sum,
+       CAST(sum(d.{c}) AS DOUBLE) / count(*) AS avg,
+       CAST(min(d.{c}) AS DOUBLE) AS min,
+       CAST(max(d.{c}) AS DOUBLE) AS max
+FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+WHERE d.{c} IS NOT NULL""" for c in cols]
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+def histogram_sql(query: str, col: str, interval: float,
+                  table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id",
+                  field_exprs: dict[str, str] | None = None) -> str:
+    """Histogram-aggregation oracle: (bucket, count) with bucket =
+    floor(value / interval) * interval — mirrors
+    IndexReader.histogram (empty buckets not filled, NULLs dropped)."""
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    return f"""SELECT floor(CAST(d.{col} AS DOUBLE) / {interval!r})
+         * {interval!r} AS bucket,
+       count(*) AS "count"
+FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+WHERE d.{col} IS NOT NULL
+GROUP BY 1 ORDER BY 1"""
+
+
+def _membership_sql(query: str, table: str, text_col: str,
+                    id_col: str,
+                    field_exprs: dict[str, str] | None) -> str:
+    """(doc_id, …) subquery of docs matching `query` — bm25 membership
+    for posting-backed queries, the row-store match-all path
+    otherwise (shared by the aggregation oracles)."""
+    pq = parse_query(query, scored_fields=tuple(field_exprs or ()))
+    if any(c.kind in ("term", "phrase", "filter", "termset")
+           for c in pq.positive):
+        return bm25_search_sql(query, k=None, table=table,
+                               text_col=text_col, id_col=id_col,
+                               field_exprs=field_exprs)
+    return match_all_sql(query, k=None, table=table,
+                         text_col=text_col, id_col=id_col)
 
 
 def signals_sql(query: str, table: str = "documents",

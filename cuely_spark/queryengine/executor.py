@@ -344,7 +344,9 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
                 dset = ds.dataset(p, format="parquet")
                 idcol = ("doc_id" if "doc_id" in dset.schema.names
                          else "__ord")
-                tbl = dset.to_table(columns=[idcol] + cols)
+                # dedupe: a requested col may BE the id column
+                tbl = dset.to_table(
+                    columns=[idcol] + [c for c in cols if c != idcol])
                 ids = np.asarray(tbl[idcol].to_numpy(), dtype=np.int64)
                 if idcol == "__ord":
                     ids = ids + int(offsets[str(sd)])
@@ -2990,15 +2992,59 @@ class IndexReader:
                 counts = counts.unionByName(p)
             return _rank(counts)
 
+        def make_rows(vals: dict):
+            out_c, out_v, out_n = [], [], []
+            for c in cols:
+                v = vals[c]
+                keep = np.array([x is not None for x in v],
+                                dtype=bool)
+                uniq, cnt = np.unique(
+                    np.array([str(x) for x in v[keep]],
+                             dtype=object), return_counts=True)
+                out_c.extend([c] * uniq.size)
+                out_v.extend(uniq.tolist())
+                out_n.extend(cnt.tolist())
+            if not out_c:
+                return None
+            return [out_c, out_v, np.asarray(out_n, dtype=np.int64)]
+
+        partials = self._matched_values_scan(
+            pq, cols, make_rows, "col string, value string, count long",
+            range_specs, exists_specs, compound_terms, stemmed, lang)
+        if partials is None:  # dead clause
+            return self.spark.createDataFrame(
+                [], "col string, value string, count long")
+        counts = (partials.groupBy("col", "value")
+                  .agg(F.sum("count").alias("count")))
+        return _rank(counts)
+
+    def _matched_values_scan(self, pq, cols: list[str], make_rows,
+                             out_schema: str, range_specs, exists_specs,
+                             compound_terms=None, stemmed=None,
+                             lang=None):
+        """Shared aggregation scan (the tantivy aggregation
+        SegmentCollector shape, crates/tantivy/src/aggregation/):
+        the SAME term-pruned postings scan as search()/count(); each
+        segment task computes its matched ids with the count kernel
+        (kernel.matching_docs), reads the requested row-store columns
+        for exactly those ids via the partition-pruned executor-local
+        read (_cols_lookup, the fast-field reader analog), and emits
+        whatever per-segment PARTIAL rows `make_rows(col->values)`
+        returns (a list of arrow-able columns matching `out_schema`,
+        or None to skip). Only partials shuffle; the corpus never
+        moves. Returns the mapInArrow DataFrame, or None when a
+        required clause is dead."""
+        from pyspark.sql import functions as F
+
+        from .kernel import matching_docs
+
         compounds, c_terms = self._plan_alternatives(
             pq, compound_terms, stemmed, lang=lang)
         dfs = self.term_dfs(list(dict.fromkeys(
             pq.all_terms() + c_terms)))
         compounds = self._prune_dead_alts(compounds, dfs)
-        empty = self.spark.createDataFrame(
-            [], "col string, value string, count long")
         if self._dead_clause(pq, compounds, dfs):
-            return empty
+            return None
         dtype = np.float32
         weights = self._weights(pq, dfs, dtype)
         for t in c_terms:
@@ -3012,6 +3058,7 @@ class IndexReader:
                     .select(*pcols))
         rng_ctx = (self._turns_path, self._seg_sources(),
                    self._offsets)
+        names = [f.split()[0] for f in out_schema.split(", ")]
 
         def run_arrow(batches):
             import pyarrow as pa
@@ -3020,7 +3067,6 @@ class IndexReader:
             if not bl:
                 return
             tbl = pa.Table.from_batches(bl)
-            out_c, out_v, out_n = [], [], []
             for _seg, by_term in _group_arrow_postings(tbl):
                 specs, negs = _make_specs(pq, weights, by_term, dtype,
                                           compounds=compounds)
@@ -3035,29 +3081,161 @@ class IndexReader:
                 if ids.size == 0:
                     continue
                 vals = _cols_lookup(troot, dirs, cols, offs)(ids)
-                for c in cols:
-                    v = vals[c]
-                    keep = np.array([x is not None for x in v],
-                                    dtype=bool)
-                    uniq, cnt = np.unique(
-                        np.array([str(x) for x in v[keep]],
-                                 dtype=object), return_counts=True)
-                    out_c.extend([c] * uniq.size)
-                    out_v.extend(uniq.tolist())
-                    out_n.extend(cnt.tolist())
-            if out_c:
-                yield pa.record_batch(
-                    [pa.array(out_c), pa.array(out_v),
-                     pa.array(np.asarray(out_n, dtype=np.int64))],
-                    names=["col", "value", "count"])
+                rows = make_rows(vals)
+                if rows is not None:
+                    yield pa.record_batch(
+                        [pa.array(r) for r in rows], names=names)
 
-        partials = (postings.repartition(F.col("segment_id"))
-                    .mapInArrow(run_arrow,
-                                schema="col string, value string, "
-                                       "count long"))
-        counts = (partials.groupBy("col", "value")
-                  .agg(F.sum("count").alias("count")))
-        return _rank(counts)
+        return (postings.repartition(F.col("segment_id"))
+                .mapInArrow(run_arrow, schema=out_schema))
+
+    def agg_stats(self, query: str | ParsedQuery,
+                  by: str | list[str],
+                  compound_terms: bool | None = None,
+                  stemmed: bool | None = None,
+                  lang: str | None = None):
+        """Metric (stats) aggregation over the matching docs — the
+        tantivy aggregation module's StatsAggregation over a fast
+        field (crates/tantivy/src/aggregation/metric/stats.rs):
+        count / sum / avg / min / max of numeric row-store columns
+        among docs matching `query` (NULLs ignored, like the metric
+        aggregations). Returns a DataFrame (col, count, sum, avg,
+        min, max), one row per `by` column, in `by` order.
+
+        Same scale shape as facet_counts: per-segment partials
+        (count, sum, min, max) from the shared aggregation scan; avg
+        derived after the one tiny partial merge."""
+        from pyspark.sql import functions as F
+
+        cols = [by] if isinstance(by, str) else list(by)
+        if not cols:
+            raise ValueError("agg_stats needs >= 1 `by` column")
+        self._validate_range_cols([(c,) for c in cols])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
+        order = F.array_position(
+            F.lit([str(c) for c in cols]), F.col("col"))
+
+        def finish(partials):
+            return (partials.groupBy("col")
+                    .agg(F.sum("count").alias("count"),
+                         F.sum("sum").alias("sum"),
+                         (F.sum("sum") / F.sum("count")).alias("avg"),
+                         F.min("min").alias("min"),
+                         F.max("max").alias("max"))
+                    .orderBy(order))
+
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative,
+                                        keep_cols=tuple(cols))
+            parts = [
+                (cand.filter(F.col(c).isNotNull())
+                 .groupBy(F.lit(c).alias("col"))
+                 .agg(F.count("*").alias("count"),
+                      F.sum(F.col(c).cast("double")).alias("sum"),
+                      F.min(F.col(c).cast("double")).alias("min"),
+                      F.max(F.col(c).cast("double")).alias("max")))
+                for c in cols]
+            partials = parts[0]
+            for pp in parts[1:]:
+                partials = partials.unionByName(pp)
+            return finish(partials)
+
+        def make_rows(vals: dict):
+            out = {"col": [], "count": [], "sum": [], "min": [],
+                   "max": []}
+            for c in cols:
+                v = np.array([float(x) for x in vals[c]
+                              if x is not None], dtype=np.float64)
+                if v.size == 0:
+                    continue
+                out["col"].append(c)
+                out["count"].append(int(v.size))
+                out["sum"].append(float(v.sum()))
+                out["min"].append(float(v.min()))
+                out["max"].append(float(v.max()))
+            if not out["col"]:
+                return None
+            return [out["col"],
+                    np.asarray(out["count"], dtype=np.int64),
+                    np.asarray(out["sum"]), np.asarray(out["min"]),
+                    np.asarray(out["max"])]
+
+        schema = ("col string, count long, sum double, min double, "
+                  "max double")
+        partials = self._matched_values_scan(
+            pq, cols, make_rows, schema, range_specs, exists_specs,
+            compound_terms, stemmed, lang)
+        if partials is None:
+            return self.spark.createDataFrame(
+                [], "col string, count long, sum double, avg double, "
+                    "min double, max double")
+        return finish(partials)
+
+    def histogram(self, query: str | ParsedQuery, col: str,
+                  interval: float,
+                  compound_terms: bool | None = None,
+                  stemmed: bool | None = None,
+                  lang: str | None = None):
+        """Histogram aggregation over the matching docs — the tantivy
+        aggregation module's HistogramAggregation (crates/tantivy/src/
+        aggregation/bucket/histogram/): fixed-`interval` buckets
+        keyed by floor(value / interval) * interval over a numeric
+        row-store column (NULLs ignored; empty buckets are NOT
+        filled). Returns a DataFrame (bucket double, count long),
+        bucket asc. Same partial-merge scale shape as facet_counts."""
+        from pyspark.sql import functions as F
+
+        if interval <= 0:
+            raise ValueError("histogram interval must be > 0")
+        self._validate_range_cols([(col,)])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(cc,) for cc, _ in exists_specs])
+        iv = float(interval)
+
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative, keep_cols=(col,))
+            return (cand.filter(F.col(col).isNotNull())
+                    .groupBy((F.floor(F.col(col).cast("double")
+                                      / F.lit(iv)) * F.lit(iv))
+                             .alias("bucket"))
+                    .agg(F.count("*").alias("count"))
+                    .orderBy("bucket"))
+
+        def make_rows(vals: dict):
+            v = np.array([float(x) for x in vals[col]
+                          if x is not None], dtype=np.float64)
+            if v.size == 0:
+                return None
+            b = np.floor(v / iv) * iv
+            uniq, cnt = np.unique(b, return_counts=True)
+            return [uniq, cnt.astype(np.int64)]
+
+        partials = self._matched_values_scan(
+            pq, [col], make_rows, "bucket double, count long",
+            range_specs, exists_specs, compound_terms, stemmed, lang)
+        if partials is None:
+            return self.spark.createDataFrame(
+                [], "bucket double, count long")
+        return (partials.groupBy("bucket")
+                .agg(F.sum("count").alias("count"))
+                .orderBy("bucket"))
 
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        k: int = TOP_K_DEFAULT, dtype=np.float64):

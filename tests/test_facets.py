@@ -117,3 +117,55 @@ def test_facets_on_merged_index(spark, facet_pdf, facet_reader,
     b = rm.facet_counts("merge table", ["lang", "source"],
                         k=10).toPandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+# ------------------------------------------- metric stats + histogram
+def test_agg_stats_matches_duckdb_oracle(facet_reader, facet_con):
+    from cuely_spark.oracle_sql import stats_agg_sql
+
+    for q in ["merge table", '"merge table" -window',
+              "merge n_chars:100..300", "* n_chars:>200"]:
+        got = facet_reader.agg_stats(q, ["n_chars"]).toPandas()
+        want = facet_con.execute(stats_agg_sql(q, ["n_chars"])).df()
+        assert sorted(map(tuple, got.values)) == sorted(
+            map(tuple, want.values)), q
+
+
+def test_agg_stats_multi_col_order_and_consistency(facet_reader,
+                                                   facet_pdf):
+    got = facet_reader.agg_stats("merge", ["n_chars", "doc_id"]
+                                 ).toPandas()
+    # rows come back in `by` order
+    assert got["col"].tolist() == ["n_chars", "doc_id"]
+    row = got.iloc[0]
+    assert int(row["count"]) == facet_reader.count("merge")
+    matched = facet_pdf[facet_pdf.text.str.split().map(
+        lambda t: "merge" in t)]
+    assert row["sum"] == float(matched.n_chars.sum())
+    assert row["min"] == float(matched.n_chars.min())
+    assert row["max"] == float(matched.n_chars.max())
+    assert row["avg"] == pytest.approx(matched.n_chars.mean())
+
+
+def test_histogram_matches_duckdb_oracle(facet_reader, facet_con):
+    from cuely_spark.oracle_sql import histogram_sql
+
+    for q, iv in [("merge table", 50.0), ("* -merge", 100.0),
+                  ("merge lang:de", 25.0)]:
+        got = facet_reader.histogram(q, "n_chars", iv).toPandas()
+        want = facet_con.execute(
+            histogram_sql(q, "n_chars", iv)).df()
+        assert got.values.tolist() == want.values.tolist(), (q, iv)
+    # buckets ascend; counts sum to the match count (n_chars not null)
+    got = facet_reader.histogram("merge", "n_chars", 50.0).toPandas()
+    assert got["bucket"].tolist() == sorted(got["bucket"].tolist())
+    assert int(got["count"].sum()) == facet_reader.count("merge")
+
+
+def test_agg_edge_cases(facet_reader):
+    assert facet_reader.agg_stats("zzzqx", "n_chars").count() == 0
+    assert facet_reader.histogram("zzzqx", "n_chars", 10).count() == 0
+    with pytest.raises(ValueError, match="interval"):
+        facet_reader.histogram("merge", "n_chars", 0)
+    with pytest.raises(ValueError, match="nosuch"):
+        facet_reader.agg_stats("merge", "nosuch")
