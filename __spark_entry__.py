@@ -737,6 +737,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.histogram("merge table", "n_chars", 100.0)
     out["ft_histogram"] = ft_histogram
 
+    def ft_range_agg(spark, sf_dir):
+        """Range-bucket aggregation (tantivy aggregation bucket/range
+        analog): half-open n_chars buckets among matching docs,
+        zero-count buckets included."""
+        r = _reader(spark, sf_dir)
+        return r.range_buckets("merge table", "n_chars",
+                               [150.0, 300.0, 450.0])
+    out["ft_range_agg"] = ft_range_agg
+
+
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
         signal, full result set (the reference's linear signal blend)."""
@@ -1000,7 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # + tests; rotate into the head next round
             "ft_explain", "nb_classify", "ft_autosuggest",
             "rake_keyphrases", "ft_field_term", "ft_field_phrase",
-            "ft_facets", "ft_agg_stats", "ft_histogram"]
+            "ft_facets", "ft_agg_stats", "ft_histogram",
+            "ft_range_agg"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1228,12 +1239,14 @@ FROM m"""
         "title:src1^2 merge -title:scan", k=None,
         field_exprs={"title": title_expr})
     from cuely_spark.oracle_sql import (facet_sql, histogram_sql,
-                                        stats_agg_sql)
+                                        range_agg_sql, stats_agg_sql)
     out["ft_facets"] = facet_sql("merge table", ["lang", "source"],
                                  k=20)
     out["ft_agg_stats"] = stats_agg_sql("merge table", ["n_chars"])
     out["ft_histogram"] = histogram_sql("merge table", "n_chars",
                                         100.0)
+    out["ft_range_agg"] = range_agg_sql("merge table", "n_chars",
+                                        [150.0, 300.0, 450.0])
     out["ft_field_phrase"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None,

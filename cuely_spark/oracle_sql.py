@@ -796,17 +796,52 @@ WHERE d.{c} IS NOT NULL""" for c in cols]
 def histogram_sql(query: str, col: str, interval: float,
                   table: str = "documents", text_col: str = "text",
                   id_col: str = "doc_id",
-                  field_exprs: dict[str, str] | None = None) -> str:
+                  field_exprs: dict[str, str] | None = None,
+                  ts: bool = False) -> str:
     """Histogram-aggregation oracle: (bucket, count) with bucket =
     floor(value / interval) * interval — mirrors
-    IndexReader.histogram (empty buckets not filled, NULLs dropped)."""
+    IndexReader.histogram (empty buckets not filled, NULLs dropped).
+    ts=True keys a timestamp column by epoch seconds (the
+    date_histogram form)."""
     m = _membership_sql(query, table, text_col, id_col, field_exprs)
-    return f"""SELECT floor(CAST(d.{col} AS DOUBLE) / {interval!r})
+    v = (f"epoch(d.{col})" if ts
+         else f"CAST(d.{col} AS DOUBLE)")
+    return f"""SELECT floor({v} / {interval!r})
          * {interval!r} AS bucket,
        count(*) AS "count"
 FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
 WHERE d.{col} IS NOT NULL
 GROUP BY 1 ORDER BY 1"""
+
+
+def range_agg_sql(query: str, col: str, edges: list[float],
+                  table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id",
+                  field_exprs: dict[str, str] | None = None,
+                  ts: bool = False) -> str:
+    """Range-bucket oracle: (lo, hi, count) per half-open bucket
+    (-inf, e0), [e0, e1), ..., [eN-1, inf) — zero-count buckets
+    included — mirrors IndexReader.range_buckets. ts=True compares a
+    timestamp column by epoch seconds."""
+    edges = [float(e) for e in edges]
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    v = f"epoch(d.{col})" if ts else f"CAST(d.{col} AS DOUBLE)"
+    bounds = ([(None, edges[0])] + list(zip(edges[:-1], edges[1:]))
+              + [(edges[-1], None)])
+    parts = []
+    for lo, hi in bounds:
+        conds = [f"d.{col} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"{v} >= {lo!r}")
+        if hi is not None:
+            conds.append(f"{v} < {hi!r}")
+        lo_s = "NULL::DOUBLE" if lo is None else repr(lo)
+        hi_s = "NULL::DOUBLE" if hi is None else repr(hi)
+        parts.append(
+            f"""SELECT {lo_s} AS lo, {hi_s} AS hi, count(*) AS "count"
+FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+WHERE {' AND '.join(conds)}""")
+    return " UNION ALL ".join(f"({p})" for p in parts)
 
 
 def _membership_sql(query: str, table: str, text_col: str,

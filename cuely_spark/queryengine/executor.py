@@ -354,10 +354,19 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
                 for c in cols:
                     col_parts[c].append(
                         tbl[c].to_numpy(zero_copy_only=False))
+            def _norm(arr):
+                # datetime64 scalars degrade to raw int ns when
+                # gathered into an object array — convert to datetime
+                # objects (which carry .timestamp()) up front
+                if arr.dtype.kind == "M":
+                    return (arr.astype("datetime64[us]")
+                            .astype(object))
+                return arr
+
             ids = np.concatenate(ids_parts)
             o = np.argsort(ids)
             cache["t"] = (ids[o],
-                          {c: np.concatenate(col_parts[c])[o]
+                          {c: _norm(np.concatenate(col_parts[c]))[o]
                            for c in cols})
         ids, vals = cache["t"]
         pos = np.clip(np.searchsorted(ids, cand), 0, ids.size - 1)
@@ -370,6 +379,18 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
         return out
 
     return fn
+
+
+def _num_val(x) -> float:
+    """Row-store value -> float for numeric aggregations; timestamps
+    become epoch seconds (the date_histogram key, matching Spark's
+    timestamp->double cast and DuckDB epoch()). Module-level so
+    aggregation closures stay picklable (no reader capture)."""
+    if hasattr(x, "timestamp"):  # pd.Timestamp / datetime
+        return float(x.timestamp())
+    if isinstance(x, np.datetime64):
+        return float(x.astype("datetime64[ns]").astype(np.int64) / 1e9)
+    return float(x)
 
 
 def _bucket_ids(values: np.ndarray) -> np.ndarray:
@@ -3180,6 +3201,76 @@ class IndexReader:
                     "min double, max double")
         return finish(partials)
 
+    def range_buckets(self, query: str | ParsedQuery, col: str,
+                      edges: list[float],
+                      compound_terms: bool | None = None,
+                      stemmed: bool | None = None,
+                      lang: str | None = None):
+        """Range-bucket aggregation over the matching docs — the
+        tantivy aggregation module's RangeAggregation
+        (crates/tantivy/src/aggregation/bucket/range.rs): N edges
+        define N+1 half-open buckets (-inf, e0), [e0, e1), ...,
+        [eN-1, inf); every bucket is emitted, zero-count included
+        (tantivy semantics). Returns (lo, hi, count) with NULL lo/hi
+        at the unbounded ends, bucket order. NULL values dropped."""
+        from pyspark.sql import functions as F
+
+        edges = [float(e) for e in edges]
+        if not edges or sorted(edges) != edges or len(set(edges)) != \
+                len(edges):
+            raise ValueError(
+                "range_buckets needs >= 1 strictly increasing edges")
+        self._validate_range_cols([(col,)])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(cc,) for cc, _ in exists_specs])
+        bounds = [(None, edges[0])] + list(
+            zip(edges[:-1], edges[1:])) + [(edges[-1], None)]
+        defs = self.spark.createDataFrame(
+            [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
+            "idx int, lo double, hi double")
+
+        def finish(idx_counts):
+            return (defs.join(idx_counts, "idx", "left")
+                    .fillna(0, subset=["count"])
+                    .orderBy("idx")
+                    .select("lo", "hi", F.col("count").cast("long")
+                            .alias("count")))
+
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative, keep_cols=(col,))
+            v = F.col(col).cast("double")
+            idx = sum((v >= F.lit(e)).cast("int") for e in edges)
+            return finish(cand.filter(F.col(col).isNotNull())
+                          .groupBy(idx.alias("idx"))
+                          .agg(F.count("*").alias("count")))
+
+        def make_rows(vals: dict):
+            v = np.array([_num_val(x)
+                          for x in vals[col] if x is not None],
+                         dtype=np.float64)
+            if v.size == 0:
+                return None
+            idx = np.searchsorted(edges, v, side="right")
+            uniq, cnt = np.unique(idx, return_counts=True)
+            return [uniq.astype(np.int32), cnt.astype(np.int64)]
+
+        partials = self._matched_values_scan(
+            pq, [col], make_rows, "idx int, count long",
+            range_specs, exists_specs, compound_terms, stemmed, lang)
+        if partials is None:
+            partials = self.spark.createDataFrame(
+                [], "idx int, count long")
+        return finish(partials.groupBy("idx")
+                      .agg(F.sum("count").alias("count")))
+
     def histogram(self, query: str | ParsedQuery, col: str,
                   interval: float,
                   compound_terms: bool | None = None,
@@ -3219,8 +3310,9 @@ class IndexReader:
                     .orderBy("bucket"))
 
         def make_rows(vals: dict):
-            v = np.array([float(x) for x in vals[col]
-                          if x is not None], dtype=np.float64)
+            v = np.array([_num_val(x)
+                          for x in vals[col] if x is not None],
+                         dtype=np.float64)
             if v.size == 0:
                 return None
             b = np.floor(v / iv) * iv

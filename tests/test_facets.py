@@ -24,9 +24,11 @@ def facet_pdf():
         rows.append((i, " ".join(rng.choice(vocab, int(rng.integers(3, 12)))),
                      ["en", "de", "fr"][i % 3],
                      [None, "src1", "src2"][i % 3],
-                     int(rng.integers(10, 400))))
+                     int(rng.integers(10, 400)),
+                     pd.Timestamp("2025-01-01")
+                     + pd.Timedelta(hours=int(rng.integers(0, 2000)))))
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang",
-                                       "source", "n_chars"])
+                                       "source", "n_chars", "ts"])
 
 
 @pytest.fixture(scope="module")
@@ -169,3 +171,49 @@ def test_agg_edge_cases(facet_reader):
         facet_reader.histogram("merge", "n_chars", 0)
     with pytest.raises(ValueError, match="nosuch"):
         facet_reader.agg_stats("merge", "nosuch")
+
+
+def test_range_buckets_match_duckdb_oracle(facet_reader, facet_con):
+    from cuely_spark.oracle_sql import range_agg_sql
+
+    def norm(df):
+        return sorted(tuple(float("-inf") if pd.isna(x) else float(x)
+                            for x in row) for row in df.values)
+
+    for q, edges in [("merge table", [100.0, 200.0, 300.0]),
+                     ("* -merge", [50.0]),
+                     ("merge lang:de", [200.0, 250.0])]:
+        got = facet_reader.range_buckets(q, "n_chars",
+                                         edges).toPandas()
+        want = facet_con.execute(
+            range_agg_sql(q, "n_chars", edges)).df()
+        assert norm(got) == norm(want), (q, edges)
+    # zero-count buckets ARE emitted (tantivy range agg semantics)
+    got = facet_reader.range_buckets("merge", "n_chars",
+                                     [1.0, 2.0, 100000.0]).toPandas()
+    assert len(got) == 4 and (got["count"] == 0).any()
+    assert int(got["count"].sum()) == facet_reader.count("merge")
+    with pytest.raises(ValueError, match="increasing"):
+        facet_reader.range_buckets("merge", "n_chars", [2.0, 1.0])
+
+
+def test_date_histogram_and_ts_ranges(facet_reader, facet_con):
+    """Timestamp columns aggregate by epoch seconds (date_histogram;
+    _cols_lookup normalizes datetime64 so values keep .timestamp())."""
+    from cuely_spark.oracle_sql import histogram_sql, range_agg_sql
+
+    got = facet_reader.histogram("merge table", "ts",
+                                 604800.0).toPandas()
+    want = facet_con.execute(
+        histogram_sql("merge table", "ts", 604800.0, ts=True)).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert int(got["count"].sum()) == facet_reader.count("merge table")
+    e = [pd.Timestamp("2025-01-20").timestamp(),
+         pd.Timestamp("2025-02-20").timestamp()]
+    got = facet_reader.range_buckets("merge", "ts", e).toPandas()
+    want = facet_con.execute(
+        range_agg_sql("merge", "ts", e, ts=True)).df()
+    assert (sorted(tuple(float("-inf") if pd.isna(x) else float(x)
+                         for x in r) for r in got.values)
+            == sorted(tuple(float("-inf") if pd.isna(x) else float(x)
+                            for x in r) for r in want.values))
