@@ -746,6 +746,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                [150.0, 300.0, 450.0])
     out["ft_range_agg"] = ft_range_agg
 
+    def ft_facet_stats(spark, sf_dir):
+        """Sub-aggregation (terms -> nested stats): per-lang n_chars
+        stats among matching docs (tantivy sub_aggregation nesting)."""
+        r = _reader(spark, sf_dir)
+        return r.facet_stats("merge table", "lang", "n_chars", k=10)
+    out["ft_facet_stats"] = ft_facet_stats
+
 
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
@@ -1011,7 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ft_explain", "nb_classify", "ft_autosuggest",
             "rake_keyphrases", "ft_field_term", "ft_field_phrase",
             "ft_facets", "ft_agg_stats", "ft_histogram",
-            "ft_range_agg"]
+            "ft_range_agg", "ft_facet_stats"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1247,6 +1254,9 @@ FROM m"""
                                         100.0)
     out["ft_range_agg"] = range_agg_sql("merge table", "n_chars",
                                         [150.0, 300.0, 450.0])
+    from cuely_spark.oracle_sql import facet_stats_sql
+    out["ft_facet_stats"] = facet_stats_sql("merge table", "lang",
+                                            "n_chars", k=10)
     out["ft_field_phrase"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None,

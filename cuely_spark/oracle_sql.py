@@ -844,6 +844,32 @@ WHERE {' AND '.join(conds)}""")
     return " UNION ALL ".join(f"({p})" for p in parts)
 
 
+def facet_stats_sql(query: str, by: str, metric: str, k: int = 50,
+                    table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    field_exprs: dict[str, str] | None = None) -> str:
+    """Sub-aggregation oracle: (value, count, sum, avg, min, max) per
+    `by` bucket — mirrors IndexReader.facet_stats (bucket count
+    includes metric-NULL docs; stats exclude them; avg = sum/count of
+    non-null metric values)."""
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    return f"""SELECT value, "count", sum, avg, min, max FROM (
+  SELECT CAST(d.{by} AS VARCHAR) AS value,
+         count(*) AS "count",
+         CAST(sum(d.{metric}) AS DOUBLE) AS sum,
+         CAST(sum(d.{metric}) AS DOUBLE)
+           / count(d.{metric}) AS avg,
+         CAST(min(d.{metric}) AS DOUBLE) AS min,
+         CAST(max(d.{metric}) AS DOUBLE) AS max,
+         row_number() OVER (
+           ORDER BY count(*) DESC, CAST(d.{by} AS VARCHAR) ASC) AS __r
+  FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+  WHERE d.{by} IS NOT NULL
+  GROUP BY 1
+) WHERE __r <= {k}
+ORDER BY "count" DESC, value ASC"""
+
+
 def _membership_sql(query: str, table: str, text_col: str,
                     id_col: str,
                     field_exprs: dict[str, str] | None) -> str:

@@ -3271,6 +3271,97 @@ class IndexReader:
         return finish(partials.groupBy("idx")
                       .agg(F.sum("count").alias("count")))
 
+    def facet_stats(self, query: str | ParsedQuery, by: str,
+                    metric: str, k: int = 50,
+                    compound_terms: bool | None = None,
+                    stemmed: bool | None = None,
+                    lang: str | None = None):
+        """Sub-aggregation: per-facet-bucket metric stats — a terms
+        aggregation with a nested stats aggregation (tantivy
+        aggregations nest sub_aggregation under each bucket,
+        crates/tantivy/src/aggregation/agg_req.rs; the ES
+        terms->stats idiom). Returns (value, count, sum, avg, min,
+        max) for the top-k `by` buckets among matching docs, ranked
+        (count desc, value asc); `metric` NULLs are dropped from the
+        stats but not from the bucket count. Same partial-merge scale
+        shape: per-segment (value, count, msum, mmin, mmax, mcount)
+        partials only."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        self._validate_range_cols([(by,), (metric,)])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(cc,) for cc, _ in exists_specs])
+
+        def finish(partials):
+            merged = (partials.groupBy("value")
+                      .agg(F.sum("count").alias("count"),
+                           F.sum("msum").alias("sum"),
+                           (F.sum("msum") / F.sum("mcount"))
+                           .alias("avg"),
+                           F.min("mmin").alias("min"),
+                           F.max("mmax").alias("max")))
+            w = Window.orderBy(F.desc("count"), F.asc("value"))
+            return (merged.withColumn("__r", F.row_number().over(w))
+                    .filter(F.col("__r") <= k).drop("__r")
+                    .orderBy(F.desc("count"), F.asc("value")))
+
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative,
+                                        keep_cols=(by, metric))
+            m = F.col(metric).cast("double")
+            partials = (cand.filter(F.col(by).isNotNull())
+                        .groupBy(F.col(by).cast("string")
+                                 .alias("value"))
+                        .agg(F.count("*").alias("count"),
+                             F.sum(m).alias("msum"),
+                             F.min(m).alias("mmin"),
+                             F.max(m).alias("mmax"),
+                             F.count(m).alias("mcount")))
+            return finish(partials)
+
+        def make_rows(vals: dict):
+            bv, mv = vals[by], vals[metric]
+            keep = np.array([x is not None for x in bv], dtype=bool)
+            if not keep.any():
+                return None
+            bs = np.array([str(x) for x in bv[keep]], dtype=object)
+            ms = np.array([(_num_val(x) if x is not None else np.nan)
+                           for x in mv[keep]], dtype=np.float64)
+            uniq, inv = np.unique(bs, return_inverse=True)
+            n = uniq.size
+            cnt = np.bincount(inv, minlength=n)
+            ok = ~np.isnan(ms)
+            mcnt = np.bincount(inv[ok], minlength=n)
+            msum = np.bincount(inv[ok], weights=ms[ok], minlength=n)
+            mmin = np.full(n, np.inf)
+            mmax = np.full(n, -np.inf)
+            np.minimum.at(mmin, inv[ok], ms[ok])
+            np.maximum.at(mmax, inv[ok], ms[ok])
+            mmin[mcnt == 0] = np.nan
+            mmax[mcnt == 0] = np.nan
+            return [uniq, cnt.astype(np.int64), msum, mmin, mmax,
+                    mcnt.astype(np.int64)]
+
+        schema = ("value string, count long, msum double, "
+                  "mmin double, mmax double, mcount long")
+        partials = self._matched_values_scan(
+            pq, [by, metric], make_rows, schema, range_specs,
+            exists_specs, compound_terms, stemmed, lang)
+        if partials is None:
+            return self.spark.createDataFrame(
+                [], "value string, count long, sum double, "
+                    "avg double, min double, max double")
+        return finish(partials)
+
     def histogram(self, query: str | ParsedQuery, col: str,
                   interval: float,
                   compound_terms: bool | None = None,

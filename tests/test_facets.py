@@ -217,3 +217,27 @@ def test_date_histogram_and_ts_ranges(facet_reader, facet_con):
                          for x in r) for r in got.values)
             == sorted(tuple(float("-inf") if pd.isna(x) else float(x)
                             for x in r) for r in want.values))
+
+
+def test_facet_stats_matches_duckdb_oracle(facet_reader, facet_con):
+    """Sub-aggregation (terms bucket -> nested stats): bucket count
+    includes metric-NULL docs, stats exclude them."""
+    from cuely_spark.oracle_sql import facet_stats_sql
+
+    for q in ["merge table", "* -merge", "merge n_chars:100..300"]:
+        got = facet_reader.facet_stats(q, "lang", "n_chars",
+                                       k=10).toPandas()
+        want = facet_con.execute(
+            facet_stats_sql(q, "lang", "n_chars", k=10)).df()
+        assert sorted(map(tuple, got.values)) == sorted(
+            map(tuple, want.values)), q
+    # top-k keeps the (count desc, value asc) head
+    full = facet_reader.facet_stats("merge", "lang", "n_chars",
+                                    k=10).toPandas()
+    one = facet_reader.facet_stats("merge", "lang", "n_chars",
+                                   k=1).toPandas()
+    assert len(one) == 1 and tuple(one.iloc[0]) == tuple(full.iloc[0])
+    # buckets sum to the facet counts
+    fc = facet_reader.facet_counts("merge", "lang", k=10).toPandas()
+    assert (dict(zip(full["value"], full["count"]))
+            == dict(zip(fc["value"], fc["count"])))
