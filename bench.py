@@ -136,6 +136,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, reps: int = 3,
     for name in ["ft_topk20", "ft_and_all", "ft_phrase_all",
                  "ft_bm25f", "ft_optic",
                  "ft_range", "ft_suggest", "ft_mlt", "ft_diverse",
+                 "ft_field_term", "ft_facets", "ft_agg_stats",
                  "knn_topk", "dedup_simhash", "text_quality"]:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (includes doc index build)

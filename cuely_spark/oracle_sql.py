@@ -777,19 +777,28 @@ ORDER BY col, "count" DESC, value ASC"""
 def stats_agg_sql(query: str, by, table: str = "documents",
                   text_col: str = "text", id_col: str = "doc_id",
                   field_exprs: dict[str, str] | None = None) -> str:
-    """Metric stats-aggregation oracle: (col, count, sum, avg, min,
-    max) per `by` column over docs matching `query` — mirrors
-    IndexReader.agg_stats (avg defined as sum::DOUBLE / count so both
-    engines perform the identical final division)."""
+    """Metric (extended) stats oracle: (col, count, sum, avg, min,
+    max, variance, stddev) per `by` column over docs matching
+    `query` — mirrors IndexReader.agg_stats (avg = sum::DOUBLE /
+    count, population variance = sumsq/n - mean^2, so both engines
+    perform the identical arithmetic)."""
     cols = [by] if isinstance(by, str) else list(by)
     m = _membership_sql(query, table, text_col, id_col, field_exprs)
-    parts = [f"""SELECT '{c}' AS col, count(*) AS "count",
+    parts = []
+    for c in cols:
+        mean = f"(CAST(sum(d.{c}) AS DOUBLE) / count(*))"
+        var = (f"(CAST(sum(CAST(d.{c} AS DOUBLE) "
+               f"* CAST(d.{c} AS DOUBLE)) AS DOUBLE) / count(*) "
+               f"- {mean} * {mean})")
+        parts.append(f"""SELECT '{c}' AS col, count(*) AS "count",
        CAST(sum(d.{c}) AS DOUBLE) AS sum,
-       CAST(sum(d.{c}) AS DOUBLE) / count(*) AS avg,
+       {mean} AS avg,
        CAST(min(d.{c}) AS DOUBLE) AS min,
-       CAST(max(d.{c}) AS DOUBLE) AS max
+       CAST(max(d.{c}) AS DOUBLE) AS max,
+       {var} AS variance,
+       sqrt({var}) AS stddev
 FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
-WHERE d.{c} IS NOT NULL""" for c in cols]
+WHERE d.{c} IS NOT NULL""")
     return " UNION ALL ".join(f"({p})" for p in parts)
 
 

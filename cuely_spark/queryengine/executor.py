@@ -3115,13 +3115,16 @@ class IndexReader:
                   compound_terms: bool | None = None,
                   stemmed: bool | None = None,
                   lang: str | None = None):
-        """Metric (stats) aggregation over the matching docs — the
-        tantivy aggregation module's StatsAggregation over a fast
-        field (crates/tantivy/src/aggregation/metric/stats.rs):
-        count / sum / avg / min / max of numeric row-store columns
-        among docs matching `query` (NULLs ignored, like the metric
-        aggregations). Returns a DataFrame (col, count, sum, avg,
-        min, max), one row per `by` column, in `by` order.
+        """Metric (extended) stats aggregation over the matching docs
+        — the tantivy aggregation module's Stats/ExtendedStats
+        aggregations over a fast field (crates/tantivy/src/
+        aggregation/metric/stats.rs): count / sum / avg / min / max /
+        variance / stddev of numeric row-store columns among docs
+        matching `query` (NULLs ignored, like the metric
+        aggregations; population variance = sumsq/n - (sum/n)^2, the
+        extended_stats definition). Returns a DataFrame (col, count,
+        sum, avg, min, max, variance, stddev), one row per `by`
+        column, in `by` order.
 
         Same scale shape as facet_counts: per-segment partials
         (count, sum, min, max) from the shared aggregation scan; avg
@@ -3144,12 +3147,16 @@ class IndexReader:
             F.lit([str(c) for c in cols]), F.col("col"))
 
         def finish(partials):
+            mean = F.sum("sum") / F.sum("count")
+            var = (F.sum("sumsq") / F.sum("count")) - mean * mean
             return (partials.groupBy("col")
                     .agg(F.sum("count").alias("count"),
                          F.sum("sum").alias("sum"),
-                         (F.sum("sum") / F.sum("count")).alias("avg"),
+                         mean.alias("avg"),
                          F.min("min").alias("min"),
-                         F.max("max").alias("max"))
+                         F.max("max").alias("max"),
+                         var.alias("variance"),
+                         F.sqrt(var).alias("stddev"))
                     .orderBy(order))
 
         if not any(c.kind in ("term", "phrase", "filter", "termset")
@@ -3163,7 +3170,9 @@ class IndexReader:
                  .agg(F.count("*").alias("count"),
                       F.sum(F.col(c).cast("double")).alias("sum"),
                       F.min(F.col(c).cast("double")).alias("min"),
-                      F.max(F.col(c).cast("double")).alias("max")))
+                      F.max(F.col(c).cast("double")).alias("max"),
+                      F.sum(F.col(c).cast("double")
+                            * F.col(c).cast("double")).alias("sumsq")))
                 for c in cols]
             partials = parts[0]
             for pp in parts[1:]:
@@ -3172,9 +3181,9 @@ class IndexReader:
 
         def make_rows(vals: dict):
             out = {"col": [], "count": [], "sum": [], "min": [],
-                   "max": []}
+                   "max": [], "sumsq": []}
             for c in cols:
-                v = np.array([float(x) for x in vals[c]
+                v = np.array([_num_val(x) for x in vals[c]
                               if x is not None], dtype=np.float64)
                 if v.size == 0:
                     continue
@@ -3183,22 +3192,24 @@ class IndexReader:
                 out["sum"].append(float(v.sum()))
                 out["min"].append(float(v.min()))
                 out["max"].append(float(v.max()))
+                out["sumsq"].append(float((v * v).sum()))
             if not out["col"]:
                 return None
             return [out["col"],
                     np.asarray(out["count"], dtype=np.int64),
                     np.asarray(out["sum"]), np.asarray(out["min"]),
-                    np.asarray(out["max"])]
+                    np.asarray(out["max"]), np.asarray(out["sumsq"])]
 
         schema = ("col string, count long, sum double, min double, "
-                  "max double")
+                  "max double, sumsq double")
         partials = self._matched_values_scan(
             pq, cols, make_rows, schema, range_specs, exists_specs,
             compound_terms, stemmed, lang)
         if partials is None:
             return self.spark.createDataFrame(
                 [], "col string, count long, sum double, avg double, "
-                    "min double, max double")
+                    "min double, max double, variance double, "
+                    "stddev double")
         return finish(partials)
 
     def range_buckets(self, query: str | ParsedQuery, col: str,

@@ -147,6 +147,10 @@ def test_agg_stats_multi_col_order_and_consistency(facet_reader,
     assert row["min"] == float(matched.n_chars.min())
     assert row["max"] == float(matched.n_chars.max())
     assert row["avg"] == pytest.approx(matched.n_chars.mean())
+    assert row["variance"] == pytest.approx(
+        matched.n_chars.var(ddof=0))
+    assert row["stddev"] == pytest.approx(
+        matched.n_chars.std(ddof=0))
 
 
 def test_histogram_matches_duckdb_oracle(facet_reader, facet_con):
