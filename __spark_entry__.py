@@ -753,6 +753,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.facet_stats("merge table", "lang", "n_chars", k=10)
     out["ft_facet_stats"] = ft_facet_stats
 
+    def ft_cardinality(spark, sf_dir):
+        """Cardinality metric: exact distinct attribute values among
+        matching docs (per-segment DISTINCT partials)."""
+        r = _reader(spark, sf_dir)
+        n = r.cardinality("merge table", "lang")
+        m = r.cardinality("merge table", "source")
+        return spark.createDataFrame(
+            [("lang", n), ("source", m)], "col string, cardinality long")
+    out["ft_cardinality"] = ft_cardinality
+
 
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
@@ -1018,7 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ft_explain", "nb_classify", "ft_autosuggest",
             "rake_keyphrases", "ft_field_term", "ft_field_phrase",
             "ft_facets", "ft_agg_stats", "ft_histogram",
-            "ft_range_agg", "ft_facet_stats"]
+            "ft_range_agg", "ft_facet_stats", "ft_cardinality"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1254,9 +1264,13 @@ FROM m"""
                                         100.0)
     out["ft_range_agg"] = range_agg_sql("merge table", "n_chars",
                                         [150.0, 300.0, 450.0])
-    from cuely_spark.oracle_sql import facet_stats_sql
+    from cuely_spark.oracle_sql import cardinality_sql, facet_stats_sql
     out["ft_facet_stats"] = facet_stats_sql("merge table", "lang",
                                             "n_chars", k=10)
+    out["ft_cardinality"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, cardinality FROM ("
+        + cardinality_sql("merge table", c) + ")"
+        for c in ("lang", "source"))
     out["ft_field_phrase"] = " UNION ALL ".join(
         f"SELECT '{name}' AS query, doc_id, score FROM ("
         + bm25_search_sql(q, k=None,

@@ -879,6 +879,17 @@ def facet_stats_sql(query: str, by: str, metric: str, k: int = 50,
 ORDER BY "count" DESC, value ASC"""
 
 
+def cardinality_sql(query: str, col: str,
+                    table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    field_exprs: dict[str, str] | None = None) -> str:
+    """Cardinality oracle: exact distinct `col` values among matching
+    docs (NULLs ignored) — mirrors IndexReader.cardinality."""
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    return (f"SELECT count(DISTINCT d.{col}) AS cardinality "
+            f"FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id")
+
+
 def _membership_sql(query: str, table: str, text_col: str,
                     id_col: str,
                     field_exprs: dict[str, str] | None) -> str:

@@ -3373,6 +3373,48 @@ class IndexReader:
                     "avg double, min double, max double")
         return finish(partials)
 
+    def cardinality(self, query: str | ParsedQuery, col: str,
+                    compound_terms: bool | None = None,
+                    stemmed: bool | None = None,
+                    lang: str | None = None) -> int:
+        """Cardinality aggregation: EXACT distinct `col` values among
+        docs matching `query` (the ES cardinality metric; exact here
+        because per-segment DISTINCT partials are bounded by the
+        column's value count, not the match count — right for
+        attribute-like columns; for corpus-unique columns prefer
+        count()). NULLs ignored."""
+        from pyspark.sql import functions as F
+
+        self._validate_range_cols([(col,)])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(cc,) for cc, _ in exists_specs])
+        if not any(c.kind in ("term", "phrase", "filter", "termset")
+                   for c in pq.positive):
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative, keep_cols=(col,))
+            return int(cand.filter(F.col(col).isNotNull())
+                       .select(F.countDistinct(col)).collect()[0][0])
+
+        def make_rows(vals: dict):
+            v = [str(x) for x in vals[col] if x is not None]
+            if not v:
+                return None
+            return [np.unique(np.array(v, dtype=object))]
+
+        partials = self._matched_values_scan(
+            pq, [col], make_rows, "value string",
+            range_specs, exists_specs, compound_terms, stemmed, lang)
+        if partials is None:
+            return 0
+        return int(partials.select(
+            F.countDistinct("value")).collect()[0][0])
+
     def histogram(self, query: str | ParsedQuery, col: str,
                   interval: float,
                   compound_terms: bool | None = None,

@@ -245,3 +245,15 @@ def test_facet_stats_matches_duckdb_oracle(facet_reader, facet_con):
     fc = facet_reader.facet_counts("merge", "lang", k=10).toPandas()
     assert (dict(zip(full["value"], full["count"]))
             == dict(zip(fc["value"], fc["count"])))
+
+
+def test_cardinality(facet_reader, facet_pdf):
+    """Exact distinct-value metric among matching docs."""
+    matched = facet_pdf[facet_pdf.text.str.split().map(
+        lambda t: "merge" in t)]
+    assert facet_reader.cardinality("merge", "lang") == \
+        matched.lang.nunique()
+    assert facet_reader.cardinality("merge", "source") == \
+        matched.source.nunique()  # NULLs ignored both sides
+    assert facet_reader.cardinality("* -merge", "lang") == 3
+    assert facet_reader.cardinality("zzzqx", "lang") == 0
