@@ -394,6 +394,18 @@ def build_index(
     id_col = "doc_id" if offsets is None else "__ord"
     attr_cols = tuple(attr_cols)
     field_cols = tuple(field_cols)
+    # query-language precedence: attribute filters (role:) and range
+    # fields (n_chars:) shadow a scored field of the same name, so a
+    # colliding field_col would be silently unreachable — fail loudly
+    from ..queryengine.parser import FILTER_FIELDS, RANGE_FIELDS
+
+    clash = ({f.lower() for f in field_cols}
+             & (set(FILTER_FIELDS) | set(RANGE_FIELDS)))
+    if clash:
+        raise ValueError(
+            f"field_cols {sorted(clash)} collide with reserved "
+            f"attribute/range query fields ({FILTER_FIELDS} / "
+            f"{RANGE_FIELDS}); rename the scored field")
     seg_kernel = segment_kernel(id_col, text_col, attr_cols, offsets,
                                 store_positions, ngram_max, stem,
                                 field_cols, stem_lang_col)

@@ -313,3 +313,17 @@ def test_field_terms_across_surfaces(freader):
     assert res.count() == min(10, exact)
     sig = freader.signals("title:alpha")
     assert sig.count() > 0
+
+
+def test_build_rejects_reserved_field_names(spark, fdocs_pdf,
+                                            tmp_path_factory):
+    """A scored field named like an attribute/range query field would
+    be unreachable (filter/range parsing wins) — build fails loudly."""
+    from cuely_spark.indexer import build_index
+
+    out = str(tmp_path_factory.mktemp("idx_clash"))
+    bad = fdocs_pdf.assign(source=fdocs_pdf["title"])
+    with pytest.raises(ValueError, match="reserved"):
+        build_index(spark, spark.createDataFrame(bad), out,
+                    doc_id_col="doc_id", rows_per_segment=100,
+                    field_cols=("source",), fuzzy_sidecar=False)
