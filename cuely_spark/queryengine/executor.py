@@ -342,6 +342,8 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
             for sd in seg_dirs:
                 p = os.path.join(turns_path, f"segment_id={sd}")
                 dset = ds.dataset(p, format="parquet")
+                import pyarrow.types as pat
+
                 idcol = ("doc_id" if "doc_id" in dset.schema.names
                          else "__ord")
                 # dedupe: a requested col may BE the id column
@@ -352,8 +354,18 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
                     ids = ids + int(offsets[str(sd)])
                 ids_parts.append(ids)
                 for c in cols:
-                    col_parts[c].append(
-                        tbl[c].to_numpy(zero_copy_only=False))
+                    col = tbl[c]
+                    if ((pat.is_integer(col.type)
+                         or pat.is_boolean(col.type))
+                            and col.null_count):
+                        # to_numpy would degrade nullable int/bool to
+                        # float64 + NaN, corrupting bucket strings
+                        # ('5.0' vs '5') — keep Python ints/bools+None
+                        col_parts[c].append(
+                            np.array(col.to_pylist(), dtype=object))
+                    else:
+                        col_parts[c].append(
+                            col.to_numpy(zero_copy_only=False))
             def _norm(arr):
                 # datetime64 scalars degrade to raw int ns when
                 # gathered into an object array — convert to datetime
@@ -384,13 +396,38 @@ def _cols_lookup(turns_path: str, seg_dirs: list[int],
 def _num_val(x) -> float:
     """Row-store value -> float for numeric aggregations; timestamps
     become epoch seconds (the date_histogram key, matching Spark's
-    timestamp->double cast and DuckDB epoch()). Module-level so
-    aggregation closures stay picklable (no reader capture)."""
+    timestamp->double cast and DuckDB epoch()). Parquet timestamps are
+    UTC instants and _cols_lookup hands them over as NAIVE datetimes,
+    so attach UTC explicitly — naive .timestamp() would re-interpret
+    the wall clock in the executor's local timezone and shift every
+    bucket by the UTC offset. Module-level so aggregation closures
+    stay picklable (no reader capture)."""
     if hasattr(x, "timestamp"):  # pd.Timestamp / datetime
+        if getattr(x, "tzinfo", None) is None:
+            from datetime import timezone
+
+            return float(x.replace(tzinfo=timezone.utc).timestamp())
         return float(x.timestamp())
     if isinstance(x, np.datetime64):
         return float(x.astype("datetime64[ns]").astype(np.int64) / 1e9)
     return float(x)
+
+
+def _missing(x) -> bool:
+    """True for NULL row-store values however they surface: None
+    (strings / to_pylist) or NaN (pyarrow decodes nullable numeric
+    columns to float64 + NaN)."""
+    return x is None or (isinstance(x, float) and x != x)
+
+
+def _str_val(x) -> str:
+    """Canonical bucket string for a row-store value — must agree with
+    Spark's CAST(col AS STRING) on the match-all aggregation path and
+    DuckDB's CAST AS VARCHAR in the oracles (booleans are lowercase
+    there; Python str() would give 'True')."""
+    if isinstance(x, (bool, np.bool_)):
+        return "true" if x else "false"
+    return str(x)
 
 
 def _bucket_ids(values: np.ndarray) -> np.ndarray:
@@ -1667,8 +1704,10 @@ class IndexReader:
                     f"exists column {col!r} not in the row store")
             e = F.col(col).isNotNull() & (F.col(col) != F.lit(""))
             cond = cond & (~e if neg else e)
-        cand = turns.filter(cond).select("doc_id", "segment_id",
-                                         *keep_cols)
+        cand = turns.filter(cond).select(
+            "doc_id", "segment_id",
+            *[c for c in keep_cols
+              if c not in ("doc_id", "segment_id")])
         if self._segment_map:
             # merged index: the row store keeps SOURCE segment ids —
             # map to kernel ids so the meta join prunes correctly
@@ -2945,6 +2984,26 @@ class IndexReader:
                 .agg(F.sum("n").alias("n")).collect())
         return int(rows[0]["n"] or 0)
 
+    def _agg_preamble(self, query, cols: list[str]):
+        """Shared head of every aggregation surface: validate the
+        requested row-store columns, parse with this index's scored
+        fields, extract+validate range/exists filter specs, and decide
+        whether membership is posting-backed or row-store match-all.
+        One definition so the seven consumers cannot drift."""
+        self._validate_range_cols([(c,) for c in cols])
+        pq = self._parse(query)
+        range_specs = [_typed_range_spec(c) for c in pq.positive
+                       if c.kind == "range"]
+        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
+                        if c.kind == "exists"]
+        if range_specs or exists_specs:
+            self._validate_range_cols(
+                range_specs + [(col,) for col, _ in exists_specs])
+        posting_backed = any(
+            c.kind in ("term", "phrase", "filter", "termset")
+            for c in pq.positive)
+        return pq, range_specs, exists_specs, posting_backed
+
     def facet_counts(self, query: str | ParsedQuery,
                      by: str | list[str], k: int = 50,
                      compound_terms: bool | None = None,
@@ -2972,20 +3031,11 @@ class IndexReader:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        from .kernel import matching_docs
-
         cols = [by] if isinstance(by, str) else list(by)
         if not cols:
             raise ValueError("facet_counts needs >= 1 `by` column")
-        self._validate_range_cols([(c,) for c in cols])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(col,) for col, _ in exists_specs])
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, cols)
 
         def _rank(counts):
             w = Window.partitionBy("col").orderBy(
@@ -2994,8 +3044,7 @@ class IndexReader:
                     .filter(F.col("__r") <= k).drop("__r")
                     .orderBy("col", F.desc("count"), F.asc("value")))
 
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        if not posting_backed:
             # pure match-all: facet the row-store scan directly (same
             # candidate pipeline as _search_all; the only exchange is
             # the partial-agg bucket shuffle)
@@ -3016,12 +3065,11 @@ class IndexReader:
         def make_rows(vals: dict):
             out_c, out_v, out_n = [], [], []
             for c in cols:
-                v = vals[c]
-                keep = np.array([x is not None for x in v],
-                                dtype=bool)
-                uniq, cnt = np.unique(
-                    np.array([str(x) for x in v[keep]],
-                             dtype=object), return_counts=True)
+                sv = [_str_val(x) for x in vals[c] if not _missing(x)]
+                if not sv:
+                    continue
+                uniq, cnt = np.unique(np.array(sv, dtype=object),
+                                      return_counts=True)
                 out_c.extend([c] * uniq.size)
                 out_v.extend(uniq.tolist())
                 out_n.extend(cnt.tolist())
@@ -3134,15 +3182,8 @@ class IndexReader:
         cols = [by] if isinstance(by, str) else list(by)
         if not cols:
             raise ValueError("agg_stats needs >= 1 `by` column")
-        self._validate_range_cols([(c,) for c in cols])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(col,) for col, _ in exists_specs])
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, cols)
         order = F.array_position(
             F.lit([str(c) for c in cols]), F.col("col"))
 
@@ -3159,8 +3200,7 @@ class IndexReader:
                          F.sqrt(var).alias("stddev"))
                     .orderBy(order))
 
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
                                         pq.negative,
                                         keep_cols=tuple(cols))
@@ -3184,7 +3224,7 @@ class IndexReader:
                    "max": [], "sumsq": []}
             for c in cols:
                 v = np.array([_num_val(x) for x in vals[c]
-                              if x is not None], dtype=np.float64)
+                              if not _missing(x)], dtype=np.float64)
                 if v.size == 0:
                     continue
                 out["col"].append(c)
@@ -3231,15 +3271,8 @@ class IndexReader:
                 len(edges):
             raise ValueError(
                 "range_buckets needs >= 1 strictly increasing edges")
-        self._validate_range_cols([(col,)])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(cc,) for cc, _ in exists_specs])
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, [col])
         bounds = [(None, edges[0])] + list(
             zip(edges[:-1], edges[1:])) + [(edges[-1], None)]
         defs = self.spark.createDataFrame(
@@ -3253,8 +3286,7 @@ class IndexReader:
                     .select("lo", "hi", F.col("count").cast("long")
                             .alias("count")))
 
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
                                         pq.negative, keep_cols=(col,))
             v = F.col(col).cast("double")
@@ -3265,7 +3297,7 @@ class IndexReader:
 
         def make_rows(vals: dict):
             v = np.array([_num_val(x)
-                          for x in vals[col] if x is not None],
+                          for x in vals[col] if not _missing(x)],
                          dtype=np.float64)
             if v.size == 0:
                 return None
@@ -3300,15 +3332,8 @@ class IndexReader:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        self._validate_range_cols([(by,), (metric,)])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(cc,) for cc, _ in exists_specs])
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, [by, metric])
 
         def finish(partials):
             merged = (partials.groupBy("value")
@@ -3323,8 +3348,7 @@ class IndexReader:
                     .filter(F.col("__r") <= k).drop("__r")
                     .orderBy(F.desc("count"), F.asc("value")))
 
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
                                         pq.negative,
                                         keep_cols=(by, metric))
@@ -3341,11 +3365,12 @@ class IndexReader:
 
         def make_rows(vals: dict):
             bv, mv = vals[by], vals[metric]
-            keep = np.array([x is not None for x in bv], dtype=bool)
+            keep = np.array([not _missing(x) for x in bv], dtype=bool)
             if not keep.any():
                 return None
-            bs = np.array([str(x) for x in bv[keep]], dtype=object)
-            ms = np.array([(_num_val(x) if x is not None else np.nan)
+            bs = np.array([_str_val(x) for x in bv[keep]],
+                          dtype=object)
+            ms = np.array([(np.nan if _missing(x) else _num_val(x))
                            for x in mv[keep]], dtype=np.float64)
             uniq, inv = np.unique(bs, return_inverse=True)
             n = uniq.size
@@ -3357,9 +3382,18 @@ class IndexReader:
             mmax = np.full(n, -np.inf)
             np.minimum.at(mmin, inv[ok], ms[ok])
             np.maximum.at(mmax, inv[ok], ms[ok])
-            mmin[mcnt == 0] = np.nan
-            mmax[mcnt == 0] = np.nan
-            return [uniq, cnt.astype(np.int64), msum, mmin, mmax,
+            # a bucket whose metric is all-NULL in this segment emits
+            # NULL partials (Spark min/max/sum IGNORE nulls; a NaN
+            # would poison the merged max, since Spark orders NaN
+            # above every double)
+            empty = mcnt == 0
+            return [uniq, cnt.astype(np.int64),
+                    [None if e else float(s)
+                     for e, s in zip(empty, msum)],
+                    [None if e else float(s)
+                     for e, s in zip(empty, mmin)],
+                    [None if e else float(s)
+                     for e, s in zip(empty, mmax)],
                     mcnt.astype(np.int64)]
 
         schema = ("value string, count long, msum double, "
@@ -3385,24 +3419,16 @@ class IndexReader:
         count()). NULLs ignored."""
         from pyspark.sql import functions as F
 
-        self._validate_range_cols([(col,)])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(cc,) for cc, _ in exists_specs])
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, [col])
+        if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
                                         pq.negative, keep_cols=(col,))
             return int(cand.filter(F.col(col).isNotNull())
                        .select(F.countDistinct(col)).collect()[0][0])
 
         def make_rows(vals: dict):
-            v = [str(x) for x in vals[col] if x is not None]
+            v = [_str_val(x) for x in vals[col] if not _missing(x)]
             if not v:
                 return None
             return [np.unique(np.array(v, dtype=object))]
@@ -3431,19 +3457,11 @@ class IndexReader:
 
         if interval <= 0:
             raise ValueError("histogram interval must be > 0")
-        self._validate_range_cols([(col,)])
-        pq = self._parse(query)
-        range_specs = [_typed_range_spec(c) for c in pq.positive
-                       if c.kind == "range"]
-        exists_specs = [(c.tokens[0], c.neg) for c in pq.positive
-                        if c.kind == "exists"]
-        if range_specs or exists_specs:
-            self._validate_range_cols(
-                range_specs + [(cc,) for cc, _ in exists_specs])
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, [col])
         iv = float(interval)
 
-        if not any(c.kind in ("term", "phrase", "filter", "termset")
-                   for c in pq.positive):
+        if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
                                         pq.negative, keep_cols=(col,))
             return (cand.filter(F.col(col).isNotNull())
@@ -3455,7 +3473,7 @@ class IndexReader:
 
         def make_rows(vals: dict):
             v = np.array([_num_val(x)
-                          for x in vals[col] if x is not None],
+                          for x in vals[col] if not _missing(x)],
                          dtype=np.float64)
             if v.size == 0:
                 return None

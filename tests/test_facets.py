@@ -257,3 +257,108 @@ def test_cardinality(facet_reader, facet_pdf):
         matched.source.nunique()  # NULLs ignored both sides
     assert facet_reader.cardinality("* -merge", "lang") == 3
     assert facet_reader.cardinality("zzzqx", "lang") == 0
+
+
+# -------------------------------------------- review-fix regressions
+def test_num_val_timestamps_are_utc():
+    """Naive datetimes from the row store are UTC instants; the epoch
+    key must not shift with the host timezone (date_histogram would
+    re-bucket on non-UTC machines)."""
+    import os
+    import time as _time
+
+    from cuely_spark.queryengine.executor import _num_val
+
+    x = np.datetime64("2025-01-01T00:00:00").astype(
+        "datetime64[us]").astype(object)  # naive datetime
+    want = 1735689600.0
+    old = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        assert _num_val(x) == want
+        assert _num_val(np.datetime64("2025-01-01T00:00:00")) == want
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+
+
+@pytest.fixture(scope="module")
+def null_reader(spark, tmp_path_factory):
+    """Corpus with NULLs in a numeric metric, a boolean attribute, and
+    an all-NULL-metric bucket isolated in its own segment."""
+    from cuely_spark.indexer import build_index
+    from cuely_spark.queryengine import IndexReader
+
+    rows = []
+    for i in range(200):
+        bucket = ["en", "de"][i % 2]
+        # 'xx' docs live at the tail -> their own segment; metric NULL
+        if i >= 180:
+            bucket, metric = "xx", None
+        else:
+            metric = None if i % 10 == 0 else int(10 + i % 50)
+        rows.append((i, "merge scan", bucket, metric, i % 3 == 0))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "metric", "flag"])
+    out = str(tmp_path_factory.mktemp("idx_nulls"))
+    build_index(spark, spark.createDataFrame(pdf), out,
+                doc_id_col="doc_id", rows_per_segment=60,
+                attr_cols=("lang",), fuzzy_sidecar=False)
+    r = IndexReader(spark, out)
+    r._pdf = pdf
+    return r
+
+
+def test_aggregations_ignore_numeric_nulls(null_reader):
+    """pyarrow decodes nullable ints to float64+NaN — the postings
+    aggregation path must drop them like the match-all path and the
+    oracle do."""
+    pdf = null_reader._pdf
+    got = null_reader.agg_stats("merge", ["metric"]).toPandas().iloc[0]
+    assert int(got["count"]) == int(pdf.metric.notna().sum())
+    assert got["sum"] == float(pdf.metric.dropna().sum())
+    assert got["max"] == float(pdf.metric.dropna().max())
+    hist = null_reader.histogram("merge", "metric", 10.0).toPandas()
+    assert int(hist["count"].sum()) == int(pdf.metric.notna().sum())
+    assert not hist["bucket"].isna().any()
+    rb = null_reader.range_buckets("merge", "metric",
+                                   [20.0]).toPandas()
+    assert int(rb["count"].sum()) == int(pdf.metric.notna().sum())
+    fc = null_reader.facet_counts("merge", "metric", k=100).toPandas()
+    assert "nan" not in set(fc["value"])
+    assert int(fc["count"].sum()) == int(pdf.metric.notna().sum())
+    assert null_reader.cardinality("merge", "metric") == \
+        pdf.metric.dropna().nunique()
+
+
+def test_facet_stats_null_metric_bucket(null_reader):
+    """A bucket whose metric is all-NULL must report NULL stats, and
+    must not poison other buckets' max via NaN partials."""
+    pdf = null_reader._pdf
+    got = null_reader.facet_stats("merge", "lang", "metric",
+                                  k=10).toPandas()
+    row = got[got["value"] == "xx"].iloc[0]
+    assert int(row["count"]) == 20
+    assert pd.isna(row["sum"]) and pd.isna(row["max"])
+    en = got[got["value"] == "en"].iloc[0]
+    sub = pdf[(pdf.lang == "en")].metric.dropna()
+    assert en["max"] == float(sub.max()) and not pd.isna(en["max"])
+    assert en["sum"] == float(sub.sum())
+
+
+def test_bool_and_id_columns_aggregate_consistently(null_reader):
+    """Canonical bucket strings: booleans are 'true'/'false' on BOTH
+    the postings and match-all paths; faceting/aggregating by doc_id
+    works on both paths too (projection dedupe)."""
+    posting = null_reader.facet_counts("merge", "flag",
+                                       k=10).toPandas()
+    matchall = null_reader.facet_counts("*", "flag", k=10).toPandas()
+    assert set(posting["value"]) == {"true", "false"}
+    assert posting.values.tolist() == matchall.values.tolist()
+    a = null_reader.agg_stats("*", ["metric", "doc_id"]).toPandas()
+    assert a["col"].tolist() == ["metric", "doc_id"]
+    assert null_reader.facet_counts("*", "doc_id", k=5).count() == 5
