@@ -362,3 +362,83 @@ def test_bool_and_id_columns_aggregate_consistently(null_reader):
     a = null_reader.agg_stats("*", ["metric", "doc_id"]).toPandas()
     assert a["col"].tolist() == ["metric", "doc_id"]
     assert null_reader.facet_counts("*", "doc_id", k=5).count() == 5
+
+
+def test_aggregation_fuzz_vs_pandas_model(spark, tmp_path_factory):
+    """Randomized corpora (NULLs, booleans, nullable ints, multiple
+    segments) x random conjunctive queries: every aggregation surface
+    must equal a brute pandas model computed over the brute-force
+    membership — an oracle independent of the DuckDB SQL generators."""
+    from cuely_spark.indexer import build_index
+    from cuely_spark.oracle import OracleIndex
+    from cuely_spark.queryengine import IndexReader
+
+    rng = np.random.default_rng(77)
+    vocab = ["merge", "table", "window", "scan", "sort", "key"]
+    rows = []
+    for i in range(300):
+        rows.append((
+            i, " ".join(rng.choice(vocab, int(rng.integers(2, 9)))),
+            rng.choice(["en", "de", "fr", None], p=[.4, .3, .2, .1]),
+            (None if rng.random() < 0.15
+             else int(rng.integers(0, 200))),
+            bool(rng.random() < 0.5)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "metric", "flag"])
+    pdf["metric"] = pdf["metric"].astype("Int64")
+    out = str(tmp_path_factory.mktemp("idx_fuzz_agg"))
+    build_index(spark, spark.createDataFrame(pdf), out,
+                doc_id_col="doc_id", rows_per_segment=70,
+                attr_cols=("lang",), fuzzy_sidecar=False)
+    r = IndexReader(spark, out)
+    oracle = OracleIndex(pdf["doc_id"].to_numpy(),
+                         pdf["text"].tolist())
+
+    queries = ["merge", "merge table", "scan -window", "key sort",
+               '"merge table"', "table -key"]
+    for q in queries:
+        docs, _ = oracle.search(q, k=10**9)
+        m = pdf[pdf.doc_id.isin(docs)]
+        # terms facets (string + bool + nullable int)
+        for col, fmt in [("lang", str), ("flag",
+                                         lambda b: str(b).lower()),
+                         ("metric", lambda x: str(int(x)))]:
+            got = r.facet_counts(q, col, k=1000).toPandas()
+            want = m[col].dropna().map(fmt).value_counts()
+            assert dict(zip(got["value"], got["count"])) == \
+                dict(want), (q, col)
+        # extended stats
+        st = r.agg_stats(q, ["metric"]).toPandas()
+        mm = m.metric.dropna().astype(float)
+        if mm.empty:
+            assert st.empty or int(st.iloc[0]["count"]) == 0
+        else:
+            row = st.iloc[0]
+            assert int(row["count"]) == len(mm)
+            assert row["sum"] == mm.sum()
+            assert row["min"] == mm.min() and row["max"] == mm.max()
+            np.testing.assert_allclose(row["variance"],
+                                       mm.var(ddof=0), rtol=1e-9)
+        # histogram
+        h = r.histogram(q, "metric", 25.0).toPandas()
+        wanth = (np.floor(mm / 25.0) * 25.0).value_counts()
+        assert dict(zip(h["bucket"], h["count"])) == dict(wanth), q
+        # range buckets (zero buckets included)
+        rb = r.range_buckets(q, "metric", [50.0, 120.0]).toPandas()
+        cuts = [float((mm < 50).sum()),
+                float(((mm >= 50) & (mm < 120)).sum()),
+                float((mm >= 120).sum())]
+        assert rb["count"].astype(float).tolist() == cuts, q
+        # cardinality
+        assert r.cardinality(q, "lang") == m.lang.dropna().nunique()
+        # sub-aggregation
+        fs = r.facet_stats(q, "lang", "metric", k=100).toPandas()
+        for _, row in fs.iterrows():
+            sub = m[m.lang == row["value"]]
+            assert int(row["count"]) == len(sub), (q, row["value"])
+            subm = sub.metric.dropna().astype(float)
+            if subm.empty:
+                assert pd.isna(row["sum"])
+            else:
+                assert row["sum"] == subm.sum()
+                assert row["max"] == subm.max()
