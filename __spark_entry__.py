@@ -763,6 +763,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("lang", n), ("source", m)], "col string, cardinality long")
     out["ft_cardinality"] = ft_cardinality
 
+    def ft_percentiles(spark, sf_dir):
+        """Percentiles metric (exact discrete quantiles from the
+        merged per-segment value-count CDF)."""
+        r = _reader(spark, sf_dir)
+        return r.percentiles("merge table", "n_chars",
+                             [0.25, 0.5, 0.75, 0.95])
+    out["ft_percentiles"] = ft_percentiles
+
 
     def ft_blend(spark, sf_dir):
         """Score-tweaker blend: BM25 + 0.3 * (n_chars/1000) length
@@ -1028,7 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ft_explain", "nb_classify", "ft_autosuggest",
             "rake_keyphrases", "ft_field_term", "ft_field_phrase",
             "ft_facets", "ft_agg_stats", "ft_histogram",
-            "ft_range_agg", "ft_facet_stats", "ft_cardinality"]
+            "ft_range_agg", "ft_facet_stats", "ft_cardinality",
+            "ft_percentiles"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
@@ -1264,7 +1273,11 @@ FROM m"""
                                         100.0)
     out["ft_range_agg"] = range_agg_sql("merge table", "n_chars",
                                         [150.0, 300.0, 450.0])
-    from cuely_spark.oracle_sql import cardinality_sql, facet_stats_sql
+    from cuely_spark.oracle_sql import (cardinality_sql,
+                                        facet_stats_sql,
+                                        percentiles_sql)
+    out["ft_percentiles"] = percentiles_sql(
+        "merge table", "n_chars", [0.25, 0.5, 0.75, 0.95])
     out["ft_facet_stats"] = facet_stats_sql("merge table", "lang",
                                             "n_chars", k=10)
     out["ft_cardinality"] = " UNION ALL ".join(

@@ -890,6 +890,25 @@ def cardinality_sql(query: str, col: str,
             f"FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id")
 
 
+def percentiles_sql(query: str, col: str, qs,
+                    table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    field_exprs: dict[str, str] | None = None,
+                    ts: bool = False) -> str:
+    """Percentiles oracle: (q, value) per requested fraction — DuckDB
+    quantile_disc over the matching docs' non-null values (the exact
+    discrete quantile IndexReader.percentiles computes from its merged
+    CDF)."""
+    m = _membership_sql(query, table, text_col, id_col, field_exprs)
+    v = f"epoch(d.{col})" if ts else f"CAST(d.{col} AS DOUBLE)"
+    parts = [f"""SELECT {float(q)!r} AS q,
+       quantile_disc({v}, {float(q)!r}) AS value
+FROM ({m}) m JOIN {table} d ON d.{id_col} = m.doc_id
+WHERE d.{col} IS NOT NULL""" for q in qs]
+    return (" UNION ALL ".join(f"({p})" for p in parts)
+            + " ORDER BY q")
+
+
 def _membership_sql(query: str, table: str, text_col: str,
                     id_col: str,
                     field_exprs: dict[str, str] | None) -> str:

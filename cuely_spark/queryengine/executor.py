@@ -3441,6 +3441,75 @@ class IndexReader:
         return int(partials.select(
             F.countDistinct("value")).collect()[0][0])
 
+    def percentiles(self, query: str | ParsedQuery, col: str,
+                    qs: list[float] = (0.25, 0.5, 0.75, 0.95),
+                    compound_terms: bool | None = None,
+                    stemmed: bool | None = None,
+                    lang: str | None = None):
+        """Percentiles aggregation over the matching docs — the
+        tantivy/ES percentiles metric, but EXACT instead of sketched:
+        per-segment (value, count) partials merge into a global CDF
+        and each percentile is the discrete quantile (the k-th
+        smallest value, k = max(ceil(q*n), 1) — DuckDB quantile_disc
+        semantics, so the oracle is exact). Scale shape: partials and
+        the CDF are bounded by the column's DISTINCT-value count, not
+        the match count — right for quantized/attribute-like numeric
+        columns (the fast-field case); a corpus-unique column would
+        make the CDF corpus-sized, prefer a sketch there. Timestamps
+        key by epoch seconds. Returns (q, value), q order; NULLs
+        ignored; empty match -> empty frame."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        qlist = [float(x) for x in qs]
+        if not qlist or any(not 0.0 <= x <= 1.0 for x in qlist):
+            raise ValueError("percentile fractions must be in [0, 1]")
+        pq, range_specs, exists_specs, posting_backed = \
+            self._agg_preamble(query, [col])
+        empty = self.spark.createDataFrame(
+            [], "q double, value double")
+
+        def finish(counts):
+            w = (Window.orderBy("value")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            cdf = (counts.withColumn("cum", F.sum("count").over(w))
+                   .withColumn("n", F.sum("count").over(
+                       Window.rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing))))
+            qdf = self.spark.createDataFrame(
+                [(x,) for x in qlist], "q double")
+            k = F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+            return (cdf.join(qdf).filter(F.col("cum") >= k)
+                    .groupBy("q").agg(F.min("value").alias("value"))
+                    .orderBy("q"))
+
+        if not posting_backed:
+            cand = self._all_candidates(range_specs, exists_specs,
+                                        pq.negative, keep_cols=(col,))
+            counts = (cand.filter(F.col(col).isNotNull())
+                      .groupBy(F.col(col).cast("double")
+                               .alias("value"))
+                      .agg(F.count("*").alias("count")))
+            return finish(counts)
+
+        def make_rows(vals: dict):
+            v = np.array([_num_val(x)
+                          for x in vals[col] if not _missing(x)],
+                         dtype=np.float64)
+            if v.size == 0:
+                return None
+            uniq, cnt = np.unique(v, return_counts=True)
+            return [uniq, cnt.astype(np.int64)]
+
+        partials = self._matched_values_scan(
+            pq, [col], make_rows, "value double, count long",
+            range_specs, exists_specs, compound_terms, stemmed, lang)
+        if partials is None:
+            return empty
+        counts = (partials.groupBy("value")
+                  .agg(F.sum("count").alias("count")))
+        return finish(counts)
+
     def histogram(self, query: str | ParsedQuery, col: str,
                   interval: float,
                   compound_terms: bool | None = None,

@@ -442,3 +442,18 @@ def test_aggregation_fuzz_vs_pandas_model(spark, tmp_path_factory):
             else:
                 assert row["sum"] == subm.sum()
                 assert row["max"] == subm.max()
+
+
+def test_percentiles_match_duckdb_oracle(facet_reader, facet_con):
+    from cuely_spark.oracle_sql import percentiles_sql
+
+    QS = [0.0, 0.25, 0.5, 0.75, 0.95, 1.0]
+    for q in ["merge table", "* -merge", "merge n_chars:100..300"]:
+        got = facet_reader.percentiles(q, "n_chars", QS).toPandas()
+        want = facet_con.execute(
+            percentiles_sql(q, "n_chars", QS)).df()
+        assert got.values.tolist() == want.values.tolist(), q
+    with pytest.raises(ValueError, match="fractions"):
+        facet_reader.percentiles("merge", "n_chars", [1.5])
+    assert facet_reader.percentiles("zzzqx", "n_chars",
+                                    [0.5]).count() == 0
