@@ -31,6 +31,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, min_doc_id).
     Only groups with >1 doc are returned."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     return (
         docs.select(h60_spark(F.col(text_col)).alias("text_hash"),
                     F.col(id_col))
@@ -56,6 +59,9 @@ def _shingles(text_col: str, k: int = SHINGLE_K):
 def doc_shingles(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, k)).alias("shingle"),
@@ -166,7 +172,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
     h60(token) else -1) > 0. Tokens weighted by frequency (a token
     appearing twice contributes twice) — classic Charikar simhash.
     JVM-side: explode tokens, one groupBy with `bits` conditional sums.
+    The input is spread across task slots first (see :func:`..spread`)
+    so the per-token md5 map work parallelizes even from a single-file
+    scan; keyed by the id so the groupBy reuses that exchange.
     """
+    from . import spread
+
+    docs = spread(docs, id_col)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

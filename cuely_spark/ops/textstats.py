@@ -29,6 +29,9 @@ def _tokens(text_col: str):
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len)."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     toks = _tokens(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -45,7 +48,12 @@ def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(doc_id, stopword_ratio, punct_ratio, quality): a deterministic
     length/punct/stopword blend in [0,1] — the classic heuristic
-    pre-filter of web-scale training pipelines."""
+    pre-filter of web-scale training pipelines. Input spread across
+    task slots first (the regex/token scans are the cost — a single-
+    file read would otherwise run them on one core)."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     toks = _tokens(text_col)
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -71,6 +79,9 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, lang_pred): marker-token hit-count heuristic; ties break
     alphabetically, no hits -> 'und'."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     toks = _tokens(text_col)
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -93,6 +104,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     content fingerprint stable under local edits outside the minimal
     window (reference analog: crates/core/src/simhash.rs usage for
     near-dup collapse)."""
+    from . import spread
+
+    docs = spread(docs, id_col)
     toks = _tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
