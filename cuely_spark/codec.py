@@ -18,26 +18,32 @@ import numpy as np
 _MAX_GROUPS = 10  # enough for u64
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint array as varbyte. Vectorized."""
+def varbyte_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
+    """Encode a uint array as varbyte. Vectorized.
+
+    The group matrix is sized to the LARGEST value actually present
+    (pre-computed per-value byte counts `nb` may be passed in to avoid
+    recomputing them); the common all-one-byte case (tf-1 streams,
+    dense doc gaps, position deltas) short-circuits to a plain byte
+    cast. Output is bit-identical for any shape of input.
+    """
     v = np.asarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return b""
+    if nb is None:
+        nb = varbyte_nbytes(v)
+    maxg = int(nb.max())
+    if maxg == 1:
+        return v.astype(np.uint8).tobytes()
     # 7-bit groups, little-endian
-    groups = np.empty((n, _MAX_GROUPS), dtype=np.uint8)
+    groups = np.empty((n, maxg), dtype=np.uint8)
     rem = v.copy()
-    for g in range(_MAX_GROUPS):
+    for g in range(maxg):
         groups[:, g] = (rem & np.uint64(0x7F)).astype(np.uint8)
         rem >>= np.uint64(7)
-    # number of groups needed per value
-    nb = np.ones(n, dtype=np.int64)
-    rem = v >> np.uint64(7)
-    while rem.any():
-        nb += (rem != 0).astype(np.int64)
-        rem >>= np.uint64(7)
     # continuation bits: groups before the last get MSB set
-    col = np.arange(_MAX_GROUPS)
+    col = np.arange(maxg)
     keep = col[None, :] < nb[:, None]
     cont = col[None, :] < (nb - 1)[:, None]
     groups = np.where(cont, groups | 0x80, groups)
@@ -81,10 +87,10 @@ def varbyte_encode_split(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
     Used to pack ALL posting blocks of a term (or a whole segment) in a
     single vectorized pass — no per-block encode calls.
     """
-    buf = varbyte_encode(values)
+    nb = varbyte_nbytes(values)
+    buf = varbyte_encode(values, nb=nb)
     if len(starts) <= 1:
         return [buf]
-    nb = varbyte_nbytes(values)
     byte_off = np.zeros(len(nb) + 1, dtype=np.int64)
     np.cumsum(nb, out=byte_off[1:])
     bounds = byte_off[np.asarray(starts, dtype=np.int64)]

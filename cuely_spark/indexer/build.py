@@ -410,9 +410,27 @@ def build_index(
                                 store_positions, ngram_max, stem,
                                 field_cols, stem_lang_col)
 
+    # Stage-B task granularity = ONE turns file (= one segment) per
+    # task. The defaults (128 MB splits, 4 MB open cost) pack ~15
+    # segment files into each task, so a 64-segment build runs its
+    # dominant phase on ~5 of the cluster's task slots; worse, a turns
+    # file LARGER than maxPartitionBytes would be range-split across
+    # tasks and the per-task kernel would emit two partial copies of
+    # that segment's postings. Pinning both knobs sky-high makes every
+    # file its own unsplittable task: full width (num_segments >=
+    # slots in any real build) and no split hazard. Scoped to each
+    # job's build action and restored after — everything else (the
+    # tiny g-row reads, stage C, query scans) keeps the defaults.
+    _conf = spark.conf
+    _split_keys = ("spark.sql.files.maxPartitionBytes",
+                   "spark.sql.files.openCostInBytes")
+    _split_old = {k: _conf.get(k) for k in _split_keys}
+
+    all_g: list = []
     for job_id, segs in enumerate(jobs):
         mpath = os.path.join(paths.manifest_dir, f"job={job_id}.json")
         if resume and fsio.exists(mpath):
+            all_g = None  # skipped job: g-rows must be re-read below
             continue
         tj = time.time()
         src = (
@@ -428,20 +446,31 @@ def build_index(
         # small row groups: posting rows are term-sorted, so parquet
         # min/max stats on `term` prune a query's scan to the few row
         # groups holding its terms (the FST/skip-list role)
-        (rows.write.mode("overwrite")
-             .option("parquet.block.size", 2 * 1024 * 1024)
-             .partitionBy("kind", "segment_id")
-             .parquet(paths.index))
+        for k in _split_keys:
+            _conf.set(k, str(32 << 30))
+        try:
+            (rows.write.mode("overwrite")
+                 .option("parquet.block.size", 2 * 1024 * 1024)
+                 .partitionBy("kind", "segment_id")
+                 .parquet(paths.index))
+        finally:
+            for k in _split_keys:
+                _conf.set(k, _split_old[k])
         _mark(f"job{job_id}_segments")
-        # job manifest: lineage + per-segment metrics
+        # job manifest: lineage + per-segment metrics. The g-rows are
+        # read once per job (explicit per-segment dirs, no full-tree
+        # listing) and accumulated so the global-stats section below
+        # needs NO second scan over kind=g.
         g = (
             spark.read.option("basePath", paths.index)
-            .parquet(os.path.join(paths.index, "kind=g"))
-            .filter(F.col("segment_id").isin(segs))
+            .parquet(*[os.path.join(paths.index, "kind=g",
+                                    f"segment_id={s}") for s in segs])
             .select("segment_id", "num_docs", "num_terms",
                     "total_tokens", "posting_bytes")
             .collect()
         )
+        if all_g is not None:
+            all_g.extend(g)
         manifest = {
             "job_id": job_id,
             "segments": segs,
@@ -467,14 +496,23 @@ def build_index(
         .parquet(paths.term_stats)
     )
     _mark("term_stats")
-    gseg = spark.read.option("basePath", paths.index).parquet(
-        os.path.join(paths.index, "kind=g")
-    )
-    agg = gseg.agg(
-        F.sum("num_docs").alias("num_docs"),
-        F.sum("total_tokens").alias("total_tokens"),
-        F.sum("posting_bytes").alias("posting_bytes"),
-    ).collect()[0]
+    if all_g is not None:
+        # fresh build: every segment's g-row was collected by its job —
+        # global stats are a driver-side sum, no extra scan
+        agg = {
+            "num_docs": sum(int(r["num_docs"]) for r in all_g),
+            "total_tokens": sum(int(r["total_tokens"]) for r in all_g),
+            "posting_bytes": sum(int(r["posting_bytes"]) for r in all_g),
+        }
+    else:  # resumed build: some jobs were skipped, re-read kind=g
+        gseg = spark.read.option("basePath", paths.index).parquet(
+            os.path.join(paths.index, "kind=g")
+        )
+        agg = gseg.agg(
+            F.sum("num_docs").alias("num_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.sum("posting_bytes").alias("posting_bytes"),
+        ).collect()[0]
     # per-field token totals (-> per-field avg_fieldnorm for BM25F):
     # field g's tokens are exactly the ttf mass of its "f:{g}:" terms
     field_tokens: dict[str, int] | None = None

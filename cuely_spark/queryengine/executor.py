@@ -632,7 +632,16 @@ class IndexReader:
     #: numpy kernel, no Spark job — see :meth:`search_local`); 0
     #: disables auto-routing. The DataFrame-returning :meth:`search`
     #: (and every correctness gate) always takes the distributed path.
-    local_threshold: int = 4096
+    #: 16384 blocks ~ 2M docs ~ 15 MB of postings — the measured
+    #: crossover where the one-task driver read+kernel stops beating
+    #: the distributed job's fixed scheduling cost; phrase queries
+    #: divide it by 4 (the positions stream multiplies the read and
+    #: the verify work). At corpus scale term dfs are orders of
+    #: magnitude above this, so big queries always fan out.
+    local_threshold: int = 16384
+
+    #: phrase-bearing queries use local_threshold // this divisor
+    local_phrase_divisor: int = 4
 
     def __init__(self, spark, path: str):
         self.spark = spark
@@ -2641,7 +2650,10 @@ class IndexReader:
             dfs = self.term_dfs(list(dict.fromkeys(
                 pq.all_terms() + c_terms)))
             est = sum(-(-df // 128) + 1 for df in dfs.values())
-            local = est <= self.local_threshold
+            thr = self.local_threshold
+            if any(c.kind == "phrase" for c in pq.positive):
+                thr //= self.local_phrase_divisor
+            local = est <= thr
         if local:
             return self.search_local(query, k=k, dtype=dtype)
         rows = self.search(query, k=k, dtype=dtype).collect()
@@ -2694,7 +2706,10 @@ class IndexReader:
             dfs = self.term_dfs(list(dict.fromkeys(
                 pq.all_terms() + c_terms)))
             est = sum(-(-df // 128) + 1 for df in dfs.values())
-            local = est <= self.local_threshold
+            thr = self.local_threshold
+            if any(c.kind == "phrase" for c in pq.positive):
+                thr //= self.local_phrase_divisor
+            local = est <= thr
         if local:
             return self.search_local(
                 query, k=k, dtype=dtype, occur=occur, offset=offset,

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..bm25 import Bm25Weight
-from ..codec import decode_docs, decode_positions, decode_tfs
+from ..codec import decode_docs, decode_positions, decode_tfs, varbyte_decode
 
 
 class TermPostings:
@@ -74,16 +74,38 @@ class TermPostings:
         return hit
 
     def decode_blocks(self, blocks: np.ndarray):
-        """Concatenated (docs, tfs, fnids, block_of_each_doc)."""
-        parts = [self.decode_block(int(b)) for b in blocks]
-        if not parts:
+        """Concatenated (docs, tfs, fnids, block_of_each_doc).
+
+        Batch path: the selected blocks' byte streams are joined and
+        decoded in ONE varbyte pass each (docs, tfs), with per-block
+        doc values recovered by a segmented cumsum (each block's first
+        gap is absolute, base -1) — constant numpy-call count instead
+        of ~40 tiny-array calls per block, which dominated wide-term
+        queries (thousands of blocks per segment)."""
+        bl = np.asarray(blocks, dtype=np.int64)
+        if bl.size == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z, z.astype(np.uint8), z
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        fnids = np.concatenate([p[2] for p in parts])
-        owner = np.repeat(np.asarray(blocks, dtype=np.int64),
-                          [len(p[0]) for p in parts])
+        if bl.size == 1:
+            b = int(bl[0])
+            docs, tfs, fnids = self.decode_block(b)
+            return docs, tfs, fnids, np.full(docs.size, b, dtype=np.int64)
+        idx = bl.tolist()
+        counts = self.ndocs[bl]
+        starts = np.zeros(counts.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        gaps = varbyte_decode(
+            b"".join([self.docs[b] for b in idx])).astype(np.int64)
+        cs = np.cumsum(gaps)
+        # within-block cumsum = global cumsum minus the sum before the
+        # block; first gap encodes doc+1 (base -1), hence the -1
+        docs = cs - np.repeat(cs[starts] - gaps[starts], counts) - 1
+        tfs = (varbyte_decode(
+            b"".join([self.tfs[b] for b in idx])) + np.uint64(1)
+        ).astype(np.int64)
+        fnids = np.frombuffer(b"".join([self.fnids[b] for b in idx]),
+                              dtype=np.uint8)
+        owner = np.repeat(bl, counts)
         return docs, tfs, fnids, owner
 
     def blocks_overlapping(self, cand_docs: np.ndarray) -> np.ndarray:
