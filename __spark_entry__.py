@@ -81,10 +81,26 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _reader(spark: SparkSession, sf_dir: str):
+#: IndexReader cache: a reader only holds immutable snapshot metadata
+#: (stats.json, lazy file listings), but constructing one per gate call
+#: re-pays parquet schema inference (~50-100 ms). Keyed by index path;
+#: invalidated when the session changes. No query results are cached —
+#: every search still computes from the parquet postings.
+_READERS: dict = {}
+
+
+def _cached_reader(spark: SparkSession, path: str):
     from cuely_spark.queryengine import IndexReader
 
-    return IndexReader(spark, _ensure_index(spark, sf_dir))
+    r = _READERS.get(path)
+    if r is None or r.spark is not spark:
+        r = IndexReader(spark, path)
+        _READERS[path] = r
+    return r
+
+
+def _reader(spark: SparkSession, sf_dir: str):
+    return _cached_reader(spark, _ensure_index(spark, sf_dir))
 
 
 def _ensure_live_index(spark: SparkSession, sf_dir: str) -> str:
@@ -338,7 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_exists_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_exists_index(spark, sf_dir))
         res = r.search_many({"ex": "merge tool:*",
                              "exn": "merge -tool:*"},
                             k=r.num_docs, dtype=np.float64)
@@ -394,7 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_ngram_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_ngram_index(spark, sf_dir))
         res = r.search_many(BATCH_AUG, k=r.num_docs, dtype=np.float64)
         return res.select("query", "doc_id",
                           F.round(F.col("score"), 4).alias("score"))
@@ -407,7 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_bm25f_index(spark, sf_dir))
         batch = {
             "bf_weighted": {"q": "merge src1", "bm25f": True,
                             "field_coeffs": {"title": 2.0}},
@@ -475,7 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_diverse_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_diverse_index(spark, sf_dir))
         d, s = r.search_diverse(
             "merge", k=10, penalties={"source": 0.5, "lang": 1.0},
             de_rank_similar=True, dtype=np.float64)
@@ -521,7 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_live_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_live_index(spark, sf_dir))
         res = r.search("merge table", k=r.num_docs, dtype=np.float64)
         return res.select("doc_id",
                           F.round(F.col("score"), 4).alias("score"))
@@ -535,7 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_merged_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_merged_index(spark, sf_dir))
         res = r.search('"scan merge" table', k=r.num_docs,
                        dtype=np.float64)
         return res.select("doc_id",
@@ -549,7 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_ngram_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_ngram_index(spark, sf_dir))
         res = r.search("scan merge table", k=r.num_docs,
                        dtype=np.float64)
         return res.select("doc_id",
@@ -564,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_sorted_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_sorted_index(spark, sf_dir))
         res = r.search("merge table", k=r.num_docs, dtype=np.float64)
         mapping = r._read_turns().select("doc_id", "orig_id")
         return (res.join(F.broadcast(mapping), "doc_id")
@@ -668,7 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_bm25f_index(spark, sf_dir))
         res = r.search_bm25f("merge src1", k=r.num_docs,
                              dtype=np.float64,
                              field_coeffs={"title": 2.0})
@@ -685,7 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_bm25f_index(spark, sf_dir))
         res = r.search("title:src1^2 merge -title:scan",
                        k=r.num_docs, dtype=np.float64)
         return res.select("doc_id",
@@ -701,7 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from cuely_spark.queryengine import IndexReader
 
-        r = IndexReader(spark, _ensure_bm25f_index(spark, sf_dir))
+        r = _cached_reader(spark, _ensure_bm25f_index(spark, sf_dir))
         res = r.search_many({
             "p1": 'title:"src1 merge"~4',
             "p2": 'title:"src2 key"~4',

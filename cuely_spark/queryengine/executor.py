@@ -1636,13 +1636,15 @@ class IndexReader:
 
         # small queries (few posting blocks): one task evaluating all
         # segments beats a per-segment shuffle fanout — the coordinator-
-        # handles-small-queries path. Large queries fan out hash-
-        # partitioned on segment_id (scales with the cluster); both use
-        # repartition (NOT coalesce: coalesce would collapse the
-        # parallel scan itself into one task).
+        # handles-small-queries path; coalesce(1) folds the (pruned,
+        # KB-scale) scan and the kernel into ONE stage with no
+        # exchange — collapsing the scan is fine precisely because the
+        # row-group-pruned read is tiny here. Large queries fan out
+        # hash-partitioned on segment_id (scales with the cluster) via
+        # repartition, which keeps the parallel scan.
         est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
         if est_blocks <= self.small_query_blocks:
-            shaped = postings.repartition(1)
+            shaped = postings.coalesce(1)
         else:
             shaped = postings.repartition(F.col("segment_id"))
         if _count_rows:
@@ -2092,7 +2094,7 @@ class IndexReader:
         out_schema = "doc_id long, score double, segment_id long"
         est_blocks = sum(-(-dfs.get(t, 0) // 128) + 1 for t in scan_terms)
         if est_blocks <= self.small_query_blocks:
-            shaped = postings.repartition(1)
+            shaped = postings.coalesce(1)
         else:
             shaped = postings.repartition(F.col("segment_id"))
         local = shaped.mapInArrow(run_arrow, schema=out_schema)
@@ -2902,7 +2904,7 @@ class IndexReader:
                             for ci in range(len(pen_cols))))
         est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
         if est_blocks <= self.small_query_blocks:
-            shaped = postings.repartition(1)
+            shaped = postings.coalesce(1)
         else:
             shaped = postings.repartition(F.col("segment_id"))
         rows = shaped.mapInArrow(run_arrow, schema=schema).collect()
@@ -3575,6 +3577,49 @@ class IndexReader:
                 .agg(F.sum("count").alias("count"))
                 .orderBy("bucket"))
 
+    def _fetch_doc_text(self, doc_id: int, text_col: str):
+        """Driver-local point read of one row-store doc's text: parquet
+        min/max stats (turns are doc-sorted per segment) prune the read
+        to one file + row group, no Spark job — the same coordinator
+        shortcut as term_dfs. Returns None for an absent id; falls
+        back to a Spark scan on non-local filesystems."""
+        try:
+            import pyarrow.dataset as ds
+
+            if self._offsets is not None:
+                # stage-A turns: doc_id = offsets[segment] + __ord
+                import bisect
+
+                items = sorted((int(v), int(k))
+                               for k, v in self._offsets.items())
+                pos = bisect.bisect_right(
+                    [v for v, _ in items], int(doc_id)) - 1
+                if pos < 0:
+                    return None
+                off, seg = items[pos]
+                d = ds.dataset(os.path.join(
+                    self._turns_path, f"segment_id={seg}"),
+                    format="parquet")
+                tbl = d.to_table(columns=[text_col],
+                                 filter=ds.field("__ord")
+                                 == int(doc_id) - off)
+            else:
+                d = ds.dataset(self._turns_path, format="parquet",
+                               partitioning="hive")
+                tbl = d.to_table(columns=[text_col],
+                                 filter=ds.field("doc_id")
+                                 == int(doc_id))
+            if tbl.num_rows == 0:
+                return None
+            return tbl[text_col][0].as_py()
+        except (ImportError, OSError):  # pragma: no cover
+            from pyspark.sql import functions as F
+
+            rows = (self._read_turns()
+                    .filter(F.col("doc_id") == int(doc_id))
+                    .select(text_col).collect())
+            return rows[0][0] if rows else None
+
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        k: int = TOP_K_DEFAULT, dtype=np.float64):
         """Find documents similar to `doc_id` — the tantivy
@@ -3594,17 +3639,13 @@ class IndexReader:
         BM25 should-score in SQL."""
         from collections import Counter
 
-        from pyspark.sql import functions as F
-
         from ..tokenizer import tokenize
 
         text_col = self.stats.get("text_col", "text")
-        rows = (self._read_turns()
-                .filter(F.col("doc_id") == int(doc_id))
-                .select(text_col).collect())
-        if not rows:
+        text = self._fetch_doc_text(int(doc_id), text_col)
+        if text is None:
             raise ValueError(f"doc_id {doc_id} not in the row store")
-        tf = Counter(tokenize(rows[0][0]))
+        tf = Counter(tokenize(text))
         dfs = self.term_dfs(list(tf))
         n = np.float64(self.num_docs)
         ranked = sorted(
