@@ -42,12 +42,15 @@ from ..tokenizer import tokenize
 _SIMPLE_ROW_RE = "^[a-z0-9]+( [a-z0-9]+)*$"
 
 
-def _tokenize_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize a row batch -> (flat token array, tokens-per-row).
+def _tokenize_flat_arrow(texts: list):
+    """Tokenize a row batch -> (flat pyarrow StringArray, tokens-per-row).
 
     Vectorized fast path: rows matching _SIMPLE_ROW_RE are split by the
     Arrow C++ kernel (no per-row Python); everything else goes through
-    the exact Python tokenizer. Outputs are order-preserving.
+    the exact Python tokenizer. The flat token stream STAYS an Arrow
+    array — no per-token Python string objects are materialized (that
+    conversion plus the pandas object-hash factorize it fed were ~25%
+    of the segment kernel). Outputs are order-preserving.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -61,51 +64,59 @@ def _tokenize_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
     if simple_np.all():
         la = pc.split_pattern(arr, " ")
         lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
-        flat = la.flatten().to_numpy(zero_copy_only=False)
-        return flat, lens.astype(np.int64)
+        return la.flatten(), lens.astype(np.int64)
 
     # mixed batch: tokenize the (typically few) non-simple rows in
-    # Python, split the simple bulk with the Arrow kernel, and place
-    # both into the output with two ragged SCATTERS — no per-row loop
-    # over the simple rows (that loop alone cost ~40% of tokenization
-    # when a batch held a handful of punctuation/unicode rows)
+    # Python, split the simple bulk with the Arrow kernel, concatenate
+    # both source streams, and restore document order with ONE take()
+    # through a scattered permutation — no per-row loop over the
+    # simple rows
     lens = np.empty(n, dtype=np.int64)
     idx_simple = np.flatnonzero(simple_np)
     idx_py = np.flatnonzero(~simple_np)
-    flat_sub = np.empty(0, dtype=object)
+    flat_sub = pa.array([], type=pa.string())
     sub_lens = np.empty(0, dtype=np.int64)
     if idx_simple.size:
         la = pc.split_pattern(arr.take(pa.array(idx_simple)), " ")
         sub_lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
-        flat_sub = la.flatten().to_numpy(zero_copy_only=False)
+        flat_sub = la.flatten()
         lens[idx_simple] = sub_lens
-    py_parts: list = []
+    py_toks: list = []
     py_lens = np.empty(idx_py.size, dtype=np.int64)
     for j, i in enumerate(idx_py):
         toks = tokenize(texts[i])
-        py_parts.append(np.asarray(toks, dtype=object))
+        py_toks.extend(toks)
         py_lens[j] = len(toks)
     lens[idx_py] = py_lens
     total = int(lens.sum())
     if total == 0:
-        return np.empty(0, dtype=object), lens
-    flat = np.empty(total, dtype=object)
+        return pa.array([], type=pa.string()), lens
+    cat = pa.concat_arrays([flat_sub,
+                            pa.array(py_toks, type=pa.string())])
+    perm = np.empty(total, dtype=np.int64)
     out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
 
-    def _scatter(rows: np.ndarray, rlens: np.ndarray, src: np.ndarray):
+    def _scatter(rows: np.ndarray, rlens: np.ndarray, src_off: int):
         tot = int(rlens.sum())
         if tot == 0:
             return
         intra = (np.arange(tot, dtype=np.int64)
                  - np.repeat(np.cumsum(rlens) - rlens, rlens))
-        flat[np.repeat(out_starts[rows], rlens) + intra] = src
+        perm[np.repeat(out_starts[rows], rlens) + intra] = \
+            src_off + np.arange(tot, dtype=np.int64)
 
-    _scatter(idx_simple, sub_lens, flat_sub)
-    if py_parts:
-        _scatter(idx_py, py_lens,
-                 np.concatenate([p for p in py_parts if len(p)])
-                 if py_lens.sum() else np.empty(0, dtype=object))
-    return flat, lens
+    _scatter(idx_simple, sub_lens, 0)
+    _scatter(idx_py, py_lens, len(flat_sub))
+    return cat.take(pa.array(perm)), lens
+
+
+def _tokenize_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Object-array variant of :func:`_tokenize_flat_arrow` for the
+    shadow-stream paths (stem / ngram / extra fields) that do Python
+    string work on the tokens."""
+    flat, lens = _tokenize_flat_arrow(texts)
+    return (np.asarray(flat.to_numpy(zero_copy_only=False),
+                       dtype=object), lens)
 
 # Arrow/Spark schema for all emitted rows (union of the four kinds)
 INDEX_ROW_SCHEMA = (
@@ -248,7 +259,14 @@ def _build_segment_rows_inner(
 
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
-    flat, lens = _tokenize_flat([texts[i] for i in order])
+    # shadow streams (stem / ngram / extra fields) do Python string
+    # work on the tokens and need an object array; the plain path keeps
+    # the token stream Arrow-native end to end (Arrow split -> Arrow
+    # dictionary factorize below) and never materializes per-token
+    # Python strings
+    arrow_terms = not (stem or ngram_max >= 2 or extra_fields)
+    tok_fn_ = _tokenize_flat_arrow if arrow_terms else _tokenize_flat
+    flat, lens = tok_fn_([texts[i] for i in order])
     fnids_per_doc = fieldnorm_to_id(lens)
     total = int(lens.sum())
 
@@ -371,9 +389,16 @@ def _build_segment_rows_inner(
         # append attribute-filter postings (tf=1, pos 0) — note doclen /
         # fieldnorm / total_tokens above already exclude them
         if a_total:
-            a_flat = np.asarray(
-                [t for al in attr_lists for t in al], dtype=object)
-            terms_arr = np.concatenate([terms_arr, a_flat])
+            a_toks = [t for al in attr_lists for t in al]
+            if arrow_terms:
+                import pyarrow as pa
+
+                terms_arr = pa.concat_arrays(
+                    [terms_arr, pa.array(a_toks, type=pa.string())])
+            else:
+                terms_arr = np.concatenate(
+                    [terms_arr,
+                     np.asarray(a_toks, dtype=object)])
             tok_docs = np.concatenate(
                 [tok_docs, np.repeat(doc_ids, a_lens)])
             tok_pos = np.concatenate(
@@ -383,7 +408,25 @@ def _build_segment_rows_inner(
             total += a_total
 
     # sorted term dictionary order == UTF-8 byte order == codepoint order
-    codes, uniques = pd.factorize(terms_arr, sort=True)
+    if arrow_terms:
+        # Arrow-native factorize: C++ hash dictionary encode, sort the
+        # (small) dictionary, remap codes through the rank permutation.
+        # Byte order == codepoint order for valid UTF-8, so the term
+        # order is identical to pandas factorize(sort=True).
+        import pyarrow.compute as pc
+
+        enc = terms_arr.dictionary_encode()
+        dic = enc.dictionary
+        sidx = pc.array_sort_indices(dic).to_numpy()
+        rank = np.empty(sidx.size, dtype=np.int64)
+        rank[sidx] = np.arange(sidx.size)
+        codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+        uniques = np.asarray(
+            dic.take(sidx).to_numpy(zero_copy_only=False),
+            dtype=object)
+    else:
+        codes, uniques = pd.factorize(terms_arr, sort=True)
+        uniques = np.asarray(uniques, dtype=object)
     # (code, doc, pos) sort: pack into ONE uint64 key when the ranges
     # fit (they always do for real segments — code/doc/pos are each
     # far below 2^21) so numpy's radix argsort replaces the ~2x slower
