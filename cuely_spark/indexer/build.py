@@ -240,8 +240,10 @@ def build_fuzzy_sidecar(spark: SparkSession, index_path: str, *,
                 f"{del1.format(x='term')}, x -> {inner})))")
     variants = ts.select(
         "term", "df", F.explode(F.expr(expr)).alias("variant"))
-    (variants.repartitionByRange(
-        max(1, min(32, variants.rdd.getNumPartitions())), "variant")
+    # hash + in-file sort for the same row-group-pruned lookups as
+    # range partitioning, minus the boundary-sampling pass (see
+    # term_stats above); 32 capped like stats_parts
+    (variants.repartition(32, "variant")
      .sortWithinPartitions("variant")
      .write.mode("overwrite").parquet(out))
     # files starting with "_" are ignored by spark/pyarrow readers
@@ -487,10 +489,15 @@ def build_index(
         os.path.join(paths.index, "kind=t")
     )
     stats_parts = max(1, min(32, len(segments)))
+    # hash-partition by term + sort within files: every file is
+    # term-sorted so row-group min/max stats prune a lookup to one row
+    # group exactly like the previous range partitioning, but WITHOUT
+    # repartitionByRange's extra range-boundary sampling job (it
+    # re-executes the aggregation once just to sample boundaries)
     (
         tseg.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .repartitionByRange(stats_parts, "term")
+        .repartition(stats_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(paths.term_stats)
