@@ -1046,14 +1046,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # stays pinned by knn_lsh_indexed (same banded plan, head)
             # + test_ops
             "knn_lsh",
-            # new this round, tail-first (head is full at the driver's
-            # 50-entry cap): verified by scripts/check_correctness.py
-            # + tests; rotate into the head next round
-            "ft_explain", "nb_classify", "ft_autosuggest",
-            "rake_keyphrases", "ft_field_term", "ft_field_phrase",
-            "ft_facets", "ft_agg_stats", "ft_histogram",
-            "ft_range_agg", "ft_facet_stats", "ft_cardinality",
-            "ft_percentiles"]
+            # ROTATION, round 6: the 13 round-5 surfaces that were
+            # tail-first last round (never driver-recorded) move INTO
+            # the head; these 13 r05-driver-green gates rotate out to
+            # make room, each still pinned by a surviving head gate or
+            # its own DuckDB-oracle pytest:
+            # ft_range_open (ft_range head + test_range),
+            # ft_count_phrase / ft_count_not (ft_count_and +
+            # ft_search_count + ft_batch_count head, counts pytest),
+            # ft_topk_offset (ft_topk20 head + offset parity in
+            # test_local_path/test_query_types),
+            # ft_batch_augmented (ft_batch_queries + ft_batch_count
+            # head, test_search_many parity; compound surface stays
+            # head via ft_compound),
+            # ft_boost / ft_termset / ft_matchall / ft_const_score
+            # (each has its own oracle pytest in test_query_types:
+            # test_boost_matches_duckdb_oracle,
+            # test_termset_matches_duckdb_oracle,
+            # test_match_all_and_exists_vs_oracle,
+            # test_const_score_membership_and_score),
+            # knn_ivf (knn_ivf_indexed head — same centroids/oracle),
+            # dedup_simhash_pairs (dedup_simhash head + banded-vs-
+            # brute parity in test_ops),
+            # dedup_embedding (exact-vs-LSH parity in test_ops),
+            # text_fingerprint (test_ops fingerprint stability +
+            # dedup_minhash_sigs head shares the shingle+h60 path)
+            "ft_range_open", "ft_count_phrase", "ft_count_not",
+            "ft_topk_offset", "ft_batch_augmented", "ft_boost",
+            "ft_termset", "ft_matchall", "ft_const_score", "knn_ivf",
+            "dedup_simhash_pairs", "dedup_embedding",
+            "text_fingerprint"]
     assert all(t in out for t in tail)
     out = {k: out[k] for k in
            [k for k in out if k not in tail] + tail}
