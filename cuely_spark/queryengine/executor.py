@@ -3612,7 +3612,9 @@ class IndexReader:
             if tbl.num_rows == 0:
                 return None
             return tbl[text_col][0].as_py()
-        except (ImportError, OSError):  # pragma: no cover
+        except Exception:  # pragma: no cover - any local-read surprise
+            # (missing pyarrow, non-local fs, unexpected turns layout)
+            # falls back to the always-correct Spark scan
             from pyspark.sql import functions as F
 
             rows = (self._read_turns()
