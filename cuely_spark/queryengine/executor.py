@@ -3055,11 +3055,20 @@ class IndexReader:
             self._agg_preamble(query, cols)
 
         def _rank(counts):
+            # one exchange serves both the (col,value) aggregation and
+            # the per-col window: hash(col) clusters every (col,value)
+            # group AND every window partition (guide: window keyed
+            # like the preceding aggregation needs no second shuffle);
+            # the final total order runs on the <= k*len(cols) result
+            # rows in one task — no range-partitioning exchange or its
+            # sampling job
             w = Window.partitionBy("col").orderBy(
                 F.desc("count"), F.asc("value"))
             return (counts.withColumn("__r", F.row_number().over(w))
                     .filter(F.col("__r") <= k).drop("__r")
-                    .orderBy("col", F.desc("count"), F.asc("value")))
+                    .coalesce(1)
+                    .sortWithinPartitions("col", F.desc("count"),
+                                          F.asc("value")))
 
         if not posting_backed:
             # pure match-all: facet the row-store scan directly (same
@@ -3100,7 +3109,8 @@ class IndexReader:
         if partials is None:  # dead clause
             return self.spark.createDataFrame(
                 [], "col string, value string, count long")
-        counts = (partials.groupBy("col", "value")
+        counts = (partials.repartition(F.col("col"))
+                  .groupBy("col", "value")
                   .agg(F.sum("count").alias("count")))
         return _rank(counts)
 
@@ -3172,8 +3182,16 @@ class IndexReader:
                     yield pa.record_batch(
                         [pa.array(r) for r in rows], names=names)
 
-        return (postings.repartition(F.col("segment_id"))
-                .mapInArrow(run_arrow, schema=out_schema))
+        # same small/large routing as search(): a gate-size query's
+        # pruned postings are KBs — coalesce(1) folds scan+kernel into
+        # one stage with no exchange; large queries keep the
+        # per-segment fan-out
+        est_blocks = sum(-(-df // 128) + 1 for df in dfs.values())
+        if est_blocks <= self.small_query_blocks:
+            shaped = postings.coalesce(1)
+        else:
+            shaped = postings.repartition(F.col("segment_id"))
+        return shaped.mapInArrow(run_arrow, schema=out_schema)
 
     def agg_stats(self, query: str | ParsedQuery,
                   by: str | list[str],
@@ -3207,6 +3225,9 @@ class IndexReader:
         def finish(partials):
             mean = F.sum("sum") / F.sum("count")
             var = (F.sum("sumsq") / F.sum("count")) - mean * mean
+            # result is one row per `by` column: total-order it in one
+            # task instead of paying orderBy's range-partitioning
+            # exchange + sampling job
             return (partials.groupBy("col")
                     .agg(F.sum("count").alias("count"),
                          F.sum("sum").alias("sum"),
@@ -3215,7 +3236,7 @@ class IndexReader:
                          F.max("max").alias("max"),
                          var.alias("variance"),
                          F.sqrt(var).alias("stddev"))
-                    .orderBy(order))
+                    .coalesce(1).sortWithinPartitions(order))
 
         if not posting_backed:
             cand = self._all_candidates(range_specs, exists_specs,
