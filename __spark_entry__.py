@@ -275,10 +275,29 @@ def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+#: the kNN gates' query vector is a fixed query PARAMETER (embedding of
+#: vec_id 0), like the ft gates' literal query strings — memoized per
+#: sf_dir and fetched with a driver-local pyarrow point read so each
+#: gate call doesn't spend a Spark job re-reading a constant
+_QVEC: dict = {}
+
+
 def _query_vec(spark, sf_dir):
-    row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
-           .select("embedding").first())
-    return [float(x) for x in row["embedding"]]
+    v = _QVEC.get(sf_dir)
+    if v is None:
+        try:
+            import pyarrow.dataset as ds
+
+            t = (ds.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+                 .to_table(columns=["embedding"],
+                           filter=ds.field("vec_id") == 0))
+            v = [float(x) for x in t["embedding"][0].as_py()]
+        except Exception:  # non-local fs: the Spark fallback
+            row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+                   .select("embedding").first())
+            v = [float(x) for x in row["embedding"]]
+        _QVEC[sf_dir] = v
+    return v
 
 
 # ---------------------------------------------------------------------------
