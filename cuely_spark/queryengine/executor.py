@@ -2961,6 +2961,20 @@ class IndexReader:
         if (len(pq.positive) == 1 and pq.positive[0].kind == "term"
                 and not pq.negative and not compounds):
             return dfs[pq.positive[0].tokens[0]]
+        # small-query routing, same cost model as search_collect: run
+        # the count kernel driver-locally below the posting-block
+        # threshold (rank/count parity between the paths is pinned by
+        # tests); big queries fan out below
+        if self.local_threshold > 0:
+            est = sum(-(-df // 128) + 1 for df in dfs.values())
+            thr = self.local_threshold
+            if any(c.kind == "phrase" for c in pq.positive):
+                thr //= self.local_phrase_divisor
+            if est <= thr:
+                res = self.search_local(
+                    pq, k=1, compound_terms=compound_terms,
+                    stemmed=stemmed, lang=lang, _with_count=True)
+                return int(res[2].value)
         dtype = np.float32
         weights = self._weights(pq, dfs, dtype)
         for t in c_terms:
