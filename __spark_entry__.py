@@ -71,7 +71,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     # bump the version whenever the index layout/contents change so a
     # stale cached build is never reused
     key = hashlib.md5(
-        f"v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"v3|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -114,7 +114,7 @@ def _ensure_live_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.streaming import LiveIndexWriter
 
     key = hashlib.md5(
-        f"live-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"live-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = _docs(spark, sf_dir)
@@ -135,7 +135,7 @@ def _ensure_ngram_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
     key = hashlib.md5(
-        f"ngram-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"ngram-v3|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir,
@@ -159,7 +159,7 @@ def _ensure_exists_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
     key = hashlib.md5(
-        f"exists-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"exists-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir,
@@ -182,7 +182,7 @@ def _ensure_sorted_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
     key = hashlib.md5(
-        f"sorted-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"sorted-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = (spark.read.parquet(os.path.join(sf_dir,
@@ -203,7 +203,7 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer.merge import merge_segments
 
     key = hashlib.md5(
-        f"merge-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"merge-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     src = os.path.join(_INDEX_ROOT, key + "-src")
     dst = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(dst, "stats.json")):
@@ -224,7 +224,7 @@ def _ensure_diverse_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
     key = hashlib.md5(
-        f"diverse-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"diverse-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = spark.read.parquet(
@@ -245,7 +245,7 @@ def _ensure_bm25f_index(spark: SparkSession, sf_dir: str) -> str:
     from cuely_spark.indexer import build_index
 
     key = hashlib.md5(
-        f"bm25f-v1|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+        f"bm25f-v2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, key)
     if not os.path.exists(os.path.join(out, "stats.json")):
         docs = (spark.read.parquet(
@@ -926,7 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _ann_root(sf_dir, kind):
         key = hashlib.md5(
-            f"ann-{kind}-v2|{os.path.abspath(sf_dir)}".encode()
+            f"ann-{kind}-v3|{os.path.abspath(sf_dir)}".encode()
         ).hexdigest()[:12]
         return os.path.join(_INDEX_ROOT, key)
 

@@ -55,6 +55,14 @@ def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (arr & 0x80).any():
+        # no continuation bits: every byte is a value (tf-1 streams,
+        # dense gaps) — one cast instead of the 5-pass general path
+        out = arr.astype(np.uint64)
+        if count is not None:
+            assert out.size == count, \
+                f"decoded {out.size}, expected {count}"
+        return out
     ends = np.flatnonzero(arr < 128)
     starts = np.empty_like(ends)
     starts[0] = 0

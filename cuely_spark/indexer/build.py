@@ -53,6 +53,22 @@ from .segment import INDEX_ROW_SCHEMA, build_segment_rows
 DEFAULT_ROWS_PER_SEGMENT = 100_000
 
 
+def posting_rg_bytes() -> int:
+    """Parquet row-group size (uncompressed bytes) for posting files.
+
+    Posting files are term-sorted point-lookup tables, not scan tables:
+    the row group is the pruning granule (the skip-list role), so it is
+    deliberately far below the scan-oriented default — 128 KB is ~1-2k
+    posting rows, letting a term-IN filter prune a query's read to a
+    few KB per segment file on both the Spark scan (PushedFilters ->
+    row-group skip) and the driver-local pyarrow reader. Overridable
+    for deployments via CUELY_POSTING_RG_BYTES; row-group metadata
+    stays bounded (it grows with file size / 128 KB, and posting files
+    are segment-sized, not corpus-sized)."""
+    return int(os.environ.get("CUELY_POSTING_RG_BYTES",
+                              str(128 * 1024)))
+
+
 @dataclass
 class IndexPaths:
     root: str
@@ -452,7 +468,7 @@ def build_index(
             _conf.set(k, str(32 << 30))
         try:
             (rows.write.mode("overwrite")
-                 .option("parquet.block.size", 2 * 1024 * 1024)
+                 .option("parquet.block.size", posting_rg_bytes())
                  .partitionBy("kind", "segment_id")
                  .parquet(paths.index))
         finally:

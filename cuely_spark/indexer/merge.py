@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import fsio
-from .build import IndexPaths
+from .build import IndexPaths, posting_rg_bytes
 from .segment import INDEX_ROW_SCHEMA
 
 DEFAULT_HOT_DF = 500_000
@@ -181,7 +181,7 @@ def merge_segments(
     (cold_out.unionByName(hot_out)
      .sortWithinPartitions("kind", "segment_id", "term", "block_id")
      .write.mode("overwrite")
-     .option("parquet.block.size", 2 * 1024 * 1024)
+     .option("parquet.block.size", posting_rg_bytes())
      .partitionBy("kind", "segment_id")
      .parquet(dst.index))
 

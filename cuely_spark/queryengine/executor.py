@@ -39,6 +39,117 @@ _POSTING_COLS = ["segment_id", "term", "block_id", "first_doc", "last_doc",
                  "ndocs", "docs", "tfs", "fnids",
                  "block_max_tf", "block_min_fnid"]
 
+#: shared pool for the driver-local pruned posting reads (one read task
+#: per segment file; I/O + parquet decode release the GIL)
+_LOCAL_READ_THREADS = min(16, os.cpu_count() or 8)
+_local_read_pool = None
+
+#: above this many posting files the pruned reader is not built (its
+#: cached open handles would strain the fd budget) and the local path
+#: keeps the pyarrow-dataset scan
+_LOCAL_FILE_CAP = 4096
+
+
+def _get_local_read_pool():
+    global _local_read_pool
+    if _local_read_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _local_read_pool = ThreadPoolExecutor(
+            max_workers=_LOCAL_READ_THREADS,
+            thread_name_prefix="cuely-localread")
+    return _local_read_pool
+
+
+class _PrunedPostingsReader:
+    """Driver-local posting reader: cached per-file parquet handles +
+    footer statistics, term-range row-group pruning, parallel reads.
+
+    Posting files are term-sorted, so each row group's (min, max) term
+    stats bracket a contiguous term range and the row groups holding a
+    term are a contiguous run found by two bisects — the in-memory
+    metadata plays the role of the reference's per-segment term
+    dictionary + skip list (metadata resident, data read per query).
+    Compared to the generic dataset scan this removes the per-query
+    per-file open/footer-parse (~1 ms x segment count) and decodes only
+    the matching row groups instead of whole files (measured 6x on a
+    640-segment index; plans/r06/local_pruned_read.md)."""
+
+    def __init__(self, root: str):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(root):
+            raise FileNotFoundError(root)
+        files = sorted(_glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no posting files under {root}")
+        if len(files) > _LOCAL_FILE_CAP:
+            raise ValueError(
+                f"{len(files)} posting files > fd cap {_LOCAL_FILE_CAP}")
+        self._entries = []
+        for f in files:
+            seg = int(f.rsplit("segment_id=", 1)[1].split(os.sep)[0])
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            ti = md.schema.to_arrow_schema().get_field_index("term")
+            mins: list | None = []
+            maxs: list = []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ti).statistics
+                if st is None or not st.has_min_max:
+                    mins = None  # no stats -> always read every group
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            self._entries.append(
+                (pf, seg, md.num_row_groups, mins, maxs))
+
+    def read(self, terms: list[str], cols: list[str]):
+        import bisect
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ts = sorted(set(terms))
+        file_cols = [c for c in cols if c != "segment_id"]
+        tasks = []
+        segs = []
+        for pf, seg, nrg, mins, maxs in self._entries:
+            if mins is None:
+                rgs = list(range(nrg))
+            else:
+                hit = set()
+                for t in ts:
+                    a = bisect.bisect_left(maxs, t)
+                    b = bisect.bisect_right(mins, t) - 1
+                    if a <= b:
+                        hit.update(range(a, b + 1))
+                rgs = sorted(hit)
+            if rgs:
+                tasks.append((pf, rgs))
+                segs.append(seg)
+        if not tasks:
+            return pa.table({})
+
+        def _one(task):
+            pf, rgs = task
+            return pf.read_row_groups(rgs, columns=file_cols,
+                                      use_threads=False)
+
+        # workers return raw tables; the segment_id column is attached
+        # ONCE, vectorized, after concat (a per-part append_column holds
+        # the GIL ~0.25 ms x files and was the measured bottleneck)
+        parts = list(_get_local_read_pool().map(_one, tasks))
+        lens = np.fromiter((p.num_rows for p in parts), dtype=np.int64,
+                           count=len(parts))
+        segcol = np.repeat(np.asarray(segs, dtype=np.int64), lens)
+        tbl = pa.concat_tables(parts)
+        tbl = tbl.append_column("segment_id", pa.array(segcol))
+        return tbl.filter(pc.field("term").isin(ts))
+
 
 class Count:
     """Exact-or-approximate hit count — the reference's
@@ -162,6 +273,65 @@ def _make_specs(pq: ParsedQuery, weights: dict, by_term: dict, dtype,
     negs = [[by_term.get(t, empty_tp) for t in c.tokens]
             for c in pq.negative]
     return specs, negs
+
+
+def _concat_arrow_postings(tbl):
+    """{term: TermPostings} with each term's blocks from ALL segments
+    concatenated in ascending doc order — the whole index treated as
+    ONE logical segment.
+
+    Sound because stage A assigns every segment a disjoint docID range
+    (doc_id = offset[segment] + ordinal), so the concatenation is
+    doc-ordered and non-overlapping exactly like blocks within one
+    segment; that invariant is verified per term below and None is
+    returned (caller falls back to the per-segment loop) if any block
+    ranges interleave. One kernel invocation then prunes across the
+    whole index: the block-max threshold converges once instead of
+    once per segment, removing the per-segment Python loop AND most
+    block decodes (the reference's searcher enjoys the same effect as
+    its segment count shrinks after merges)."""
+    n = tbl.num_rows
+    if n == 0:
+        return {}
+    term = tbl["term"].to_pylist()
+    first = tbl["first_doc"].to_numpy().astype(np.int64)
+    last = tbl["last_doc"].to_numpy().astype(np.int64)
+    codes = np.empty(n, dtype=np.int64)
+    tmap: dict[str, int] = {}
+    for i, t in enumerate(term):
+        codes[i] = tmap.setdefault(t, len(tmap))
+    order = np.lexsort((first, codes))
+    oc = codes[order]
+    of = first[order]
+    ol = last[order]
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    # disjointness: within a term group, each block starts after the
+    # previous block ends
+    inner = np.ones(n, dtype=bool)
+    inner[starts] = False
+    if np.any(inner & ~(of > np.r_[np.int64(-1), ol[:-1]])):
+        return None
+    ends = np.r_[starts[1:], n]
+    nd = tbl["ndocs"].to_numpy().astype(np.int64)
+    bmt = tbl["block_max_tf"].to_numpy().astype(np.int64)
+    bmf = tbl["block_min_fnid"].to_numpy().astype(np.int64)
+    docs = tbl["docs"].to_pylist()
+    tfs = tbl["tfs"].to_pylist()
+    fnids = tbl["fnids"].to_pylist()
+    poss = (tbl["positions"].to_pylist()
+            if "positions" in tbl.column_names else None)
+    inv = {v: k for k, v in tmap.items()}
+    out = {}
+    for s, e in zip(starts, ends):
+        ia = order[s:e]
+        out[inv[int(oc[s])]] = TermPostings(
+            first[ia], last[ia], nd[ia],
+            [docs[i] for i in ia], [tfs[i] for i in ia],
+            [fnids[i] for i in ia],
+            positions=([poss[i] for i in ia] if poss is not None
+                       else None),
+            block_max_tf=bmt[ia], block_min_fnid=bmf[ia])
+    return out
 
 
 def _group_arrow_postings(tbl):
@@ -663,6 +833,7 @@ class IndexReader:
         self._postings_df = None
         self._segment_docs = None
         self._local_dataset = None
+        self._local_pruned = None  # lazy; False = fall back to dataset
 
     @property
     def postings_df(self):
@@ -2493,6 +2664,16 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         cols = _POSTING_COLS + (["positions"] if with_positions else [])
+        if self._local_pruned is not False:
+            try:
+                if self._local_pruned is None:
+                    self._local_pruned = _PrunedPostingsReader(
+                        self._postings_path)
+                return self._local_pruned.read(terms, cols)
+            except Exception:
+                # non-local fs, >fd-cap segment count, statistics quirks
+                # — permanently route this reader to the dataset scan
+                self._local_pruned = False
         if self._local_dataset is None:
             # cache the dataset object: file discovery over the segment
             # dirs costs tens of ms and freezes the snapshot exactly
@@ -2588,7 +2769,17 @@ class IndexReader:
         seg_k = k + offset
         n_total = 0
         parts: list[tuple[np.ndarray, np.ndarray]] = []
-        for _seg, by_term in _group_arrow_postings(tbl):
+        # single-pass fast path: no per-segment state needed (ranges /
+        # exists filters build per-segment lookup fns) -> run the
+        # kernel ONCE over the whole index as one logical segment
+        groups = None
+        if not (range_specs or exists_specs):
+            by_term_all = _concat_arrow_postings(tbl)
+            if by_term_all is not None:
+                groups = ([(None, by_term_all)] if by_term_all else [])
+        if groups is None:
+            groups = _group_arrow_postings(tbl)
+        for _seg, by_term in groups:
             specs, negs = _make_specs(pq, weights, by_term, dtype,
                                       compounds=compounds)
             if union:

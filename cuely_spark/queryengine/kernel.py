@@ -200,12 +200,28 @@ def single_term_topk(tp: TermPostings, weight: Bm25Weight, k: int):
     best_docs = np.empty(0, dtype=np.int64)
     best_scores = np.empty(0, dtype=d)
     threshold = -np.inf
+    # geometric chunk growth: starts fine so a discriminating ub
+    # ordering exits after ~1-2 tiny chunks, doubles so a flat ub
+    # ordering (pruning impossible) pays O(log nblocks) iterations of
+    # fixed numpy overhead instead of nblocks/32 — a concatenated
+    # whole-index stream can be 10^4+ blocks. Chunk size never changes
+    # the result: every chunk's candidates go through the same exact
+    # top-k merge, larger chunks merely decode blocks a finer schedule
+    # could have skipped.
     chunk = 32
-    for i in range(0, order.size, chunk):
+    i = 0
+    while i < order.size:
         blocks = order[i:i + chunk]
+        i += chunk
         if best_docs.size >= k and float(ub[blocks[0]]) < threshold:
             break  # no remaining block can beat the k-th score
         keep = (ub[blocks] >= threshold) | (best_docs.size < k)
+        # adaptive schedule: while pruning is biting (some blocks
+        # dropped), stay fine so the threshold tightens between small
+        # decodes; when a whole chunk survives (flat bounds, pruning
+        # impossible) double the chunk so a 10^4-block concatenated
+        # stream pays O(log) iterations of fixed numpy overhead
+        chunk = min(chunk * 2, 8192) if bool(keep.all()) else 32
         blocks = blocks[keep]
         if blocks.size == 0:
             continue
@@ -275,15 +291,24 @@ def union_topk(term_specs: list[tuple], k: int, dtype=np.float32,
     best_docs = np.empty(0, dtype=np.int64)
     best_scores = np.empty(0, dtype=d)
     threshold = -np.inf
+    # adaptive chunk schedule — same rationale (and same result-
+    # invariance argument) as single_term_topk
     chunk = 64
-    for s in range(0, order.size, chunk):
+    s = 0
+    while s < order.size:
         sel = order[s:s + chunk]
+        s += chunk
         # strict-less with slack: f32 score accumulation can round a hair
         # above the f64 sum of per-block bounds
         if (best_docs.size >= k
                 and float(bound[sel[0]])
                 < threshold - 1e-5 * abs(threshold) - 1e-9):
             break
+        if (best_docs.size >= k
+                and float(bound[sel[-1]]) >= threshold):
+            chunk = min(chunk * 2, 8192)  # no interval prunable yet
+        else:
+            chunk = 64
         lo, hi = ivl_lo[sel], ivl_hi[sel]
         # gather contributions from blocks overlapping these intervals
         docs_parts, contrib_parts = [], []

@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsio
-from ..indexer.build import IndexPaths, segment_kernel, segment_offsets
+from ..indexer.build import (IndexPaths, posting_rg_bytes, segment_kernel,
+                             segment_offsets)
 from ..indexer.segment import INDEX_ROW_SCHEMA
 
 # live segments are namespaced above any pre-existing bulk segment id;
@@ -186,7 +187,7 @@ class LiveIndexWriter:
                            stem_lang_col=self.stem_lang_col),
             schema=INDEX_ROW_SCHEMA)
         (rows.write.mode("overwrite")
-             .option("parquet.block.size", 2 * 1024 * 1024)
+             .option("parquet.block.size", posting_rg_bytes())
              .partitionBy("kind", "segment_id")
              .parquet(self.paths.index))
 
