@@ -802,13 +802,17 @@ class IndexReader:
     #: numpy kernel, no Spark job — see :meth:`search_local`); 0
     #: disables auto-routing. The DataFrame-returning :meth:`search`
     #: (and every correctness gate) always takes the distributed path.
-    #: 16384 blocks ~ 2M docs ~ 15 MB of postings — the measured
+    #: 24576 blocks ~ 3M docs ~ 22 MB of postings — the measured
     #: crossover where the one-task driver read+kernel stops beating
-    #: the distributed job's fixed scheduling cost; phrase queries
-    #: divide it by 4 (the positions stream multiplies the read and
-    #: the verify work). At corpus scale term dfs are orders of
+    #: the distributed job's fixed scheduling cost (re-measured after
+    #: the round-6 pruned reader made local reads ~6x cheaper: on a
+    #: 640-segment 6M-doc index, local wins at est 17.8k blocks
+    #: [0.64 vs 0.80 s] and loses at est 34k [0.90 vs 0.75 s]); phrase
+    #: queries divide it by 4 (the positions stream multiplies the
+    #: read and the verify work — dist measured 2.7x faster at est
+    #: 17.8k with positions). At corpus scale term dfs are orders of
     #: magnitude above this, so big queries always fan out.
-    local_threshold: int = 16384
+    local_threshold: int = 24576
 
     #: phrase-bearing queries use local_threshold // this divisor
     local_phrase_divisor: int = 4
