@@ -71,8 +71,12 @@ def with_snippets(df, reader, query, text_col: str = "text",
     idfs = {t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
             for t, df in dfs.items() if df > 0}
 
-    @F.udf(T.StringType())
-    def _snip(text):
-        return make_snippet(text, pq, idf_by_term=idfs)
+    @F.pandas_udf(T.StringType())
+    def _snip(texts):
+        # same per-row function as ever — the pandas UDF only changes
+        # the transport (Arrow batches instead of pickled rows),
+        # removing the one row-at-a-time Python UDF in the package
+        return texts.map(
+            lambda t: make_snippet(t, pq, idf_by_term=idfs))
 
     return df.withColumn(out_col, _snip(F.col(text_col)))
